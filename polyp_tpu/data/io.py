@@ -1,0 +1,49 @@
+"""Host-side image IO: decode, mask-multiply, resize.
+
+Per-sample PIL work (tif decode, mask multiply — reference
+classifier_model/PolypDataset.py:52-61) runs exactly once per image at cache
+build time (see cache.py); the steady-state input path on TPU is a uint8
+slice + H2D copy. Resize matches torchvision's `transforms.Resize`
+(PIL bilinear with antialias).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def decode_image(path: str | Path) -> np.ndarray:
+    """Decode any PIL-supported image (.tif/.png/...) to uint8 RGB HWC."""
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def decode_mask(path: str | Path) -> np.ndarray:
+    """Decode a binary mask to bool HW (mask>0, PolypDataset.py:57-58)."""
+    with Image.open(path) as im:
+        return np.asarray(im.convert("L")) > 0
+
+
+def apply_mask(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Zero out non-polyp pixels (PolypDataset.py:55-60)."""
+    return image * mask[..., None].astype(image.dtype)
+
+
+def resize_image(image: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear resize to (size, size), torchvision/PIL-parity."""
+    if image.shape[0] == size and image.shape[1] == size:
+        return image
+    im = Image.fromarray(image)
+    return np.asarray(im.resize((size, size), Image.BILINEAR))
+
+
+def load_preprocessed(path: str | Path, size: int,
+                      mask_path: str | Path | None = None) -> np.ndarray:
+    """decode → optional mask multiply → resize; returns uint8 [size,size,3]."""
+    image = decode_image(path)
+    if mask_path is not None:
+        image = apply_mask(image, decode_mask(mask_path))
+    return resize_image(image, size)

@@ -1,0 +1,99 @@
+"""Batching, class-balanced sampling, and a prefetching device loader.
+
+TPU-first input pipeline: index sampling happens on host with a seeded NumPy
+generator, batches are uint8 slices of the in-memory cache, and transfers are
+double-buffered (`device_put` one batch ahead) so the H2D copy overlaps the
+previous step's compute. Per-pixel augmentation runs on device (transforms.py),
+not here.
+
+Weighted sampling reproduces torch's `WeightedRandomSampler(weights,
+num_samples=len, replacement=True)` semantics (classifier.py:330-337):
+draws-with-replacement proportional to 'balanced' class weights.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from polyp_tpu.eval.metrics import balanced_class_weights
+
+
+def weighted_sample_weights(labels) -> np.ndarray:
+    """Per-sample draw weights = balanced class weight of the label
+    (classifier.py:331-332)."""
+    weights = balanced_class_weights(labels)
+    return np.asarray([weights[int(l)] for l in np.asarray(labels)], dtype=np.float64)
+
+
+def epoch_batches(
+    n: int,
+    batch_size: int,
+    rng: np.random.Generator,
+    shuffle: bool = True,
+    drop_last: bool = False,
+    weights: np.ndarray | None = None,
+) -> list[np.ndarray]:
+    """Index batches for one epoch.
+
+    With `weights`, draws n samples with replacement ∝ weights (weighted
+    sampling); otherwise a permutation (shuffle) or arange. `drop_last`
+    matches the reference train loader (classifier.py:326).
+    """
+    if weights is not None:
+        p = weights / weights.sum()
+        order = rng.choice(n, size=n, replace=True, p=p)
+    elif shuffle:
+        order = rng.permutation(n)
+    else:
+        order = np.arange(n)
+    end = (n // batch_size) * batch_size if drop_last else n
+    return [order[i:i + batch_size] for i in range(0, end, batch_size)
+            if drop_last is False or i + batch_size <= n]
+
+
+class Loader:
+    """Iterates device-resident (images, labels) batches with one-batch-ahead
+    prefetch. Batches keep a static shape (required under jit): when
+    `drop_last=False` the tail batch is padded by wrapping around, and a
+    boolean `valid` mask marks real rows — eval loops mask the padding out
+    instead of recompiling for a ragged tail."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
+                 *, seed: int = 0, shuffle: bool = True, drop_last: bool = False,
+                 weights: np.ndarray | None = None, device=None):
+        self.images = images
+        self.labels = labels
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.weights = weights
+        self.device = device
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.labels)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _host_batches(self):
+        n = len(self.labels)
+        for idx in epoch_batches(n, self.batch_size, self._rng, self.shuffle,
+                                 self.drop_last, self.weights):
+            valid = np.ones(self.batch_size, dtype=bool)
+            if len(idx) < self.batch_size:
+                pad = self.batch_size - len(idx)
+                valid[len(idx):] = False
+                idx = np.concatenate([idx, np.arange(pad) % n])
+            yield (self.images[idx], self.labels[idx], valid)
+
+    def __iter__(self) -> Iterator[tuple[jax.Array, jax.Array, jax.Array]]:
+        pending = None
+        for host_batch in self._host_batches():
+            nxt = jax.device_put(host_batch, self.device)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending

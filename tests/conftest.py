@@ -1,0 +1,38 @@
+"""Test env: force an 8-device CPU platform so mesh/sharding tests run
+without TPU hardware (SURVEY §4 plan item d). Must run before jax imports."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+from PIL import Image  # noqa: E402
+
+
+@pytest.fixture
+def synth_polyp_dir(tmp_path):
+    """A miniature polyp dataset on disk: CSV-labeled .tif images + masks,
+    mirroring the reference data layout (m_train/images + train.csv)."""
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "images"
+    mask_dir = tmp_path / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    rows = []
+    classes = ["AD", "AD", "AD", "HP", "HP", "ASS"]
+    for i, cls in enumerate(classes):
+        image_id = f"img_{i:03d}"
+        arr = rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{image_id}.tif")
+        mask = np.zeros((40, 48), dtype=np.uint8)
+        mask[10:30, 12:36] = 255
+        Image.fromarray(mask).save(mask_dir / f"{image_id}.tif")
+        rows.append((image_id, cls))
+    csv_path = tmp_path / "train.csv"
+    csv_path.write_text("image_id,cls\n" + "\n".join(f"{a},{b}" for a, b in rows) + "\n")
+    return {"image_dir": img_dir, "mask_dir": mask_dir, "csv": csv_path,
+            "classes": classes}
