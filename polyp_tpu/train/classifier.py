@@ -1,0 +1,234 @@
+"""Classifier training: jit-compiled train/eval steps, weighted CE, early
+stopping on val loss with best-checkpoint keeping, and test evaluation.
+
+TPU-native re-design of the reference train/eval loops (classifier.py:120-205,
+226-294 and their duplicate in test_diffusion_model.py:85-170): the per-batch
+body is a single jitted function (forward+backward+Adam update+metrics) over
+static shapes; augmentation is fused device-side; epochs stream batches with
+one-ahead H2D prefetch.
+
+Faithful reference semantics:
+* torch `Adam(lr, weight_decay)` == additive L2 before Adam moments
+  (optax.add_decayed_weights → adam), classifier.py:360.
+* Early stopping counts *non-improving epochs without reset* — the reference
+  never zeroes the counter on improvement (classifier.py:193-199); we keep
+  that contract.
+* Weighted CE uses sklearn 'balanced' class weights (classifier.py:354-358).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from polyp_tpu.configs import ClassificationConfig
+from polyp_tpu.data.pipeline import Loader
+from polyp_tpu.data.transforms import augment_classifier_batch
+from polyp_tpu.eval import metrics as M
+from polyp_tpu.models.efficientnet import PolypClassifier
+from polyp_tpu.utils.rng import key_for
+
+
+class ClassifierState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            batch_stats=new_batch_stats,
+                            opt_state=new_opt)
+
+
+def make_optimizer(config: ClassificationConfig) -> optax.GradientTransformation:
+    # torch Adam(weight_decay=wd): grad += wd·param, then Adam moments.
+    return optax.chain(
+        optax.add_decayed_weights(config.weight_decay),
+        optax.adam(config.learning_rate),
+    )
+
+
+def create_classifier_state(config: ClassificationConfig, num_classes: int,
+                            rng: jax.Array) -> tuple[ClassifierState, PolypClassifier]:
+    model = PolypClassifier(num_classes=num_classes,
+                            hidden_features=config.hidden_features,
+                            dropout=config.dropout)
+    dummy = jnp.zeros((1, config.image_size, config.image_size, 3),
+                      jnp.bfloat16 if config.mixed_precision == "bf16" else jnp.float32)
+    variables = model.init({"params": rng}, dummy, train=False)
+    tx = make_optimizer(config)
+    state = ClassifierState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+    return state, model
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array,
+                  class_weights: jax.Array | None,
+                  valid: jax.Array | None = None) -> jax.Array:
+    """Mean CE with optional per-class weights, torch-CrossEntropyLoss parity:
+    weighted mean is normalized by the sum of sample weights."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    w = jnp.ones_like(nll) if class_weights is None else class_weights[labels]
+    if valid is not None:
+        w = w * valid.astype(w.dtype)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+@partial(jax.jit, static_argnames=("mp",))
+def train_step(state: ClassifierState, images_u8, labels, key,
+               class_weights, mp: str = "bf16"):
+    x = augment_classifier_batch(
+        images_u8, jax.random.fold_in(key, 0), train=True,
+        dtype=jnp.bfloat16 if mp == "bf16" else jnp.float32)
+
+    def loss_fn(params):
+        logits, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(key, 1)})
+        loss = cross_entropy(logits, labels, class_weights)
+        return loss, (logits, mutated["batch_stats"])
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads, new_stats)
+    correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+    return state, loss, correct
+
+
+@partial(jax.jit, static_argnames=("mp",))
+def eval_step(state: ClassifierState, images_u8, labels, valid,
+              class_weights, mp: str = "bf16"):
+    x = augment_classifier_batch(
+        images_u8, jax.random.PRNGKey(0), train=False,
+        dtype=jnp.bfloat16 if mp == "bf16" else jnp.float32)
+    logits = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=False)
+    loss = cross_entropy(logits, labels, class_weights, valid)
+    preds = jnp.argmax(logits, -1)
+    correct = jnp.sum((preds == labels) & valid)
+    return loss, preds, correct
+
+
+@dataclass
+class TrainResult:
+    train_loss_hist: list[float] = field(default_factory=list)
+    val_loss_hist: list[float] = field(default_factory=list)
+    best_val_acc: float = 0.0
+    best_params: Any = None
+    best_batch_stats: Any = None
+    stopped_epoch: int | None = None
+
+
+def _run_validation(state, loader, class_weights, mp):
+    losses, correct, total = [], 0, 0
+    for images, labels, valid in loader:
+        loss, _, c = eval_step(state, images, labels, valid, class_weights, mp)
+        losses.append(float(loss))
+        correct += int(c)
+        total += int(np.asarray(valid).sum())
+    return float(np.mean(losses)), correct / max(total, 1)
+
+
+def train_classifier(
+    config: ClassificationConfig,
+    state: ClassifierState,
+    train_loader: Loader,
+    val_loader: Loader,
+    class_weights: np.ndarray | None = None,
+    log: Callable[[str, float, int], None] | None = None,
+) -> tuple[ClassifierState, TrainResult]:
+    """Epoch loop with early stopping; returns final state + history with the
+    best (lowest-val-loss) params captured, mirroring classifier.py:120-205."""
+    mp = config.mixed_precision
+    cw = (jnp.asarray(class_weights, jnp.float32)
+          if class_weights is not None else None)
+    result = TrainResult()
+    best_val_loss = float("inf")
+    early_stopping = 0
+
+    for epoch in range(config.num_epochs):
+        epoch_losses, correct, total = [], 0, 0
+        for step, (images, labels, valid) in enumerate(train_loader):
+            key = key_for(config.seed, "train", epoch, step)
+            state, loss, c = train_step(state, images, labels, key, cw, mp)
+            epoch_losses.append(loss)  # device arrays; sync once per epoch
+            correct += int(c)
+            total += labels.shape[0]
+        train_loss = float(np.mean(jax.device_get(epoch_losses)))
+        result.train_loss_hist.append(train_loss)
+
+        val_loss, val_acc = _run_validation(state, val_loader, cw, mp)
+        result.val_loss_hist.append(val_loss)
+        if log:
+            log("train_loss", train_loss, epoch)
+            log("val_loss", val_loss, epoch)
+            log("val_accuracy", val_acc, epoch)
+
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            result.best_val_acc = val_acc
+            result.best_params = jax.device_get(state.params)
+            result.best_batch_stats = jax.device_get(state.batch_stats)
+        else:
+            # Reference contract: counter accumulates without reset
+            # (classifier.py:193-195).
+            early_stopping += 1
+
+        if early_stopping == config.patience:
+            result.stopped_epoch = epoch
+            break
+
+    return state, result
+
+
+def evaluate_classifier(
+    state: ClassifierState,
+    test_loader: Loader,
+    idx2label: dict[int, str],
+    mp: str = "bf16",
+) -> dict[str, Any]:
+    """Test evaluation with string-label decode (classifier.py:247-248) and
+    the reference's weighted metrics + confusion matrix + report."""
+    all_preds, all_true = [], []
+    for images, labels, valid in test_loader:
+        _, preds, _ = eval_step(state, images, labels, valid, None, mp)
+        mask = np.asarray(valid)
+        all_preds.extend(np.asarray(preds)[mask].tolist())
+        all_true.extend(np.asarray(labels)[mask].tolist())
+
+    pred_labels = [idx2label[i] for i in all_preds]
+    true_labels = [idx2label[i] for i in all_true]
+    order = sorted(set(true_labels))
+    precision, recall, f1 = M.precision_recall_f1(true_labels, pred_labels,
+                                                  "weighted", order)
+    return {
+        "accuracy": M.accuracy_score(true_labels, pred_labels),
+        "precision": precision,
+        "recall": recall,
+        "f1_score": f1,
+        "confusion_matrix": M.confusion_matrix(true_labels, pred_labels, order),
+        "report": M.classification_report(true_labels, pred_labels, order),
+        "labels": order,
+    }
