@@ -1,0 +1,247 @@
+"""Shared UNet building blocks (Flax, NHWC, bf16-friendly).
+
+These implement the architecture family behind both reference generator
+models — the scratch `UNet2DModel` (PolypGeneratorModel.py:25-48) and the
+SD-v1-4 `UNet2DConditionModel` / `AutoencoderKL` (PolypGeneratorModel.py:17-22)
+— as TPU-idiomatic modules: NHWC convs (MXU-native layout), fp32 GroupNorm
+statistics with bf16 activations, attention routed through
+polyp_tpu.ops.dot_product_attention (Pallas-swappable), and parameter names
+(`to_q/to_k/to_v/to_out`, `proj_in/proj_out`, `ff_net_0_proj/ff_net_2`,
+`time_emb_proj`) chosen so LoRA target-module presets address the same
+surfaces as the reference's PEFT configs (config_diffusion.py:34-37).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from polyp_tpu.ops import dot_product_attention, group_norm
+
+
+def sinusoidal_time_embedding(timesteps: jax.Array, dim: int,
+                              max_period: float = 10000.0,
+                              flip_sin_to_cos: bool = True,
+                              downscale_freq_shift: float = 0.0) -> jax.Array:
+    """Transformer sinusoidal embedding of integer timesteps → [N, dim]
+    (diffusers `Timesteps` parity: half exp-spaced freqs, sin‖cos, optional
+    flip)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Sinusoidal → MLP (Linear-SiLU-Linear) time embedding."""
+
+    base_dim: int
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, timesteps: jax.Array) -> jax.Array:
+        emb = sinusoidal_time_embedding(timesteps, self.base_dim)
+        emb = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(
+            emb.astype(self.dtype))
+        emb = nn.silu(emb)
+        return nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(emb)
+
+
+class GroupNorm(nn.Module):
+    """Thin param wrapper around ops.group_norm (functional core, fusable)."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    act: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, self.num_groups, self.eps, self.act)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN+SiLU+Conv ×2 with additive time embedding and 1×1 skip projection —
+    the UNet workhorse (the Pallas fusion target for GN+SiLU+conv)."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: jax.Array | None = None,
+                 deterministic: bool = True) -> jax.Array:
+        residual = x
+        h = GroupNorm(self.groups, self.eps, act="silu", name="norm1")(x)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, self.eps, act="silu", name="norm2")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                               name="conv_shortcut")(residual)
+        return h + residual
+
+
+class Attention(nn.Module):
+    """Multi-head attention with SD naming (to_q/to_k/to_v/to_out). Works as
+    self-attention (context=None) or cross-attention over encoder states."""
+
+    num_heads: int
+    head_dim: int
+    out_features: int | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array | None = None) -> jax.Array:
+        inner = self.num_heads * self.head_dim
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        n, tq, _ = q.shape
+        tk = k.shape[1]
+        q = q.reshape(n, tq, self.num_heads, self.head_dim)
+        k = k.reshape(n, tk, self.num_heads, self.head_dim)
+        v = v.reshape(n, tk, self.num_heads, self.head_dim)
+        out = dot_product_attention(q, k, v).reshape(n, tq, inner)
+        out_features = self.out_features or x.shape[-1]
+        return nn.Dense(out_features, dtype=self.dtype, name="to_out")(out)
+
+
+class SpatialSelfAttention(nn.Module):
+    """GN → spatial tokens → self-attention → residual; the attention used by
+    AttnDownBlock2D/AttnUpBlock2D and the VAE mid block.
+
+    TPU note: head_dim is fixed at 64 lanes (num_heads = C/64) rather than
+    diffusers' default head_dim=8 — a deliberate MXU-alignment choice; the
+    scratch model trains from scratch so there is no weight-parity concern
+    (the VAE importer overrides heads=1 for exact SD parity).
+    """
+
+    num_heads: int | None = None
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, h, w, c = x.shape
+        heads = self.num_heads or max(1, c // 64)
+        residual = x
+        y = GroupNorm(self.groups, self.eps, name="group_norm")(x)
+        y = y.reshape(n, h * w, c)
+        y = Attention(heads, c // heads, dtype=self.dtype, name="attention")(y)
+        return residual + y.reshape(n, h, w, c)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (SD transformer MLP). Names ff_net_0_proj/ff_net_2
+    match the LoRA preset surface for diffusers' ff.net.0.proj / ff.net.2."""
+
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        hidden = nn.Dense(dim * self.mult * 2, dtype=self.dtype,
+                          name="ff_net_0_proj")(x)
+        a, gate = jnp.split(hidden, 2, axis=-1)
+        return nn.Dense(dim, dtype=self.dtype, name="ff_net_2")(a * nn.gelu(gate))
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN→self-attn, LN→cross-attn, LN→GEGLU-FF with residuals (SD layout)."""
+
+    num_heads: int
+    head_dim: int
+    cross_attention_dim: int | None = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 context: jax.Array | None = None) -> jax.Array:
+        attn = lambda name: Attention(self.num_heads, self.head_dim,
+                                      dtype=self.dtype, name=name)
+        x = x + attn("attn1")(nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
+        if self.cross_attention_dim is not None:
+            x = x + attn("attn2")(
+                nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(
+            nn.LayerNorm(dtype=self.dtype, name="norm3")(x))
+        return x
+
+
+class Transformer2D(nn.Module):
+    """GN → 1×1 proj_in → transformer blocks over spatial tokens → 1×1
+    proj_out → residual (SD Transformer2DModel, conv-projection variant)."""
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    cross_attention_dim: int | None = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 context: jax.Array | None = None) -> jax.Array:
+        n, h, w, c = x.shape
+        inner = self.num_heads * self.head_dim
+        residual = x
+        y = GroupNorm(32, 1e-6, name="norm")(x)
+        y = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(y)
+        y = y.reshape(n, h * w, inner)
+        for i in range(self.depth):
+            y = BasicTransformerBlock(
+                self.num_heads, self.head_dim, self.cross_attention_dim,
+                self.dtype, name=f"transformer_blocks_{i}")(y, context)
+        y = y.reshape(n, h, w, inner)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        return y + residual
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # diffusers pads (0,1,0,1) then convs with VALID; SAME on even sizes
+        # is equivalent for stride-2 3×3.
+        return nn.Conv(self.out_channels, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, h * 2, w * 2, c), "nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv")(x)

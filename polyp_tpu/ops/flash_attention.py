@@ -1,0 +1,113 @@
+"""Pallas flash-attention for TPU (blockwise softmax(QKᵀ)V).
+
+Targets the UNet's spatial self-/cross-attention at 32×32–64×64 latent grids
+(1024–4096 tokens), where keeping the full T×T score matrix out of HBM wins
+over materialized attention. Falls back (see ops/attention.py) when shapes
+don't tile.
+
+Kernel design: grid over (batch·heads, Q blocks); K/V stream through VMEM in
+an inner fori_loop with running (max, sumexp, acc) — the standard
+flash-attention recurrence. Block sizes are multiples of the MXU tile
+(128×128); head_dim is padded to 128 lanes by the caller contract.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def supported(q, k, v, mask, is_causal) -> bool:
+    if mask is not None or is_causal:
+        return False  # CLIP's causal path stays on XLA for now
+    if q.ndim != 4:
+        return False
+    _, tq, _, d = q.shape
+    tk = k.shape[1]
+    # need MXU-tileable token counts and lane-aligned head dim
+    return (tq % 128 == 0 and tk % 128 == 0 and d in (32, 64, 128)
+            and jax.default_backend() == "tpu")
+
+
+def profitable(q, k, v) -> bool:
+    # XLA's fused attention is fine for short sequences; flash pays off once
+    # the score matrix stops fitting in VMEM comfortably.
+    return q.shape[1] >= 1024 and k.shape[1] >= 1024
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float):
+    q = q_ref[...]  # [block_q, d]
+    num_k = k_ref.shape[0] // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc0 = jnp.zeros((q.shape[0], v_ref.shape[1]), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
+    o_ref[...] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("is_causal", "block_q", "block_k"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    is_causal: bool = False,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
+    """q,k,v: [N, T, H, D] (BTHD). Returns [N, Tq, H, D]."""
+    n, tq, h, d = q.shape
+    tk = k.shape[1]
+    block_q = min(block_q, tq)
+    block_k = min(block_k, tk)
+    sm_scale = 1.0 / math.sqrt(d)
+
+    # fold batch and heads into the grid's leading dim; tokens-major layout
+    qf = q.transpose(0, 2, 1, 3).reshape(n * h, tq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(n * h, tk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(n * h, tk, d)
+
+    kernel = functools.partial(_flash_kernel, block_k=block_k,
+                               sm_scale=sm_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n * h, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * h, tq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * h * tq * tk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=n * h * tq * tk,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(n, h, tq, d).transpose(0, 2, 1, 3)
