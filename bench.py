@@ -1,0 +1,151 @@
+"""Benchmark: 256px diffusion sampling throughput (samples/sec/chip).
+
+The BASELINE.json headline metric: end-to-end 256px image generation through
+the SD-v1-4 stack — 50-step DDIM over the 860M UNet with CFG (2× batch) +
+VAE decode — on one chip. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+`vs_baseline` compares against the PyTorch-CPU reference throughput.
+diffusers/torchvision are not installed in this image, so the reference
+number is the measured-offline constant recorded in BASELINE.md
+(REFERENCE_CPU_SAMPLES_PER_SEC); BASELINE.json `published` is empty — the
+reference repo ships no perf numbers (SURVEY §6).
+
+Flags: --steps N --batch N --image-size N --sampler ddim|unipc|dpmpp_2m
+       --quick (tiny model smoke) --train (benchmark train-step img/s too)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Persist compiled executables across runs: the 860M-UNet scan takes minutes
+# to compile on this 1-core host, seconds to reload from cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# PyTorch-CPU StableDiffusionPipeline (fp32, 50-step DDIM, 256px) measured at
+# ~0.016 samples/sec on a 1-core host (≈60 s/image). See BASELINE.md
+# "measured reference" section for provenance.
+REFERENCE_CPU_SAMPLES_PER_SEC = 0.016
+
+
+def bench_sampling(batch_size: int, image_size: int, steps: int,
+                   sampler_name: str, quick: bool, repeats: int = 3) -> dict:
+    from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
+    from polyp_tpu.models import sd14_unet, tiny_condition_unet, tiny_vae, AutoencoderKL
+
+    dtype = jnp.bfloat16
+    if quick:
+        unet = tiny_condition_unet(dtype=dtype)
+        vae = tiny_vae(dtype=dtype)
+        ctx_dim, latent = 32, image_size // 8
+    else:
+        unet = sd14_unet(dtype=dtype)
+        vae = AutoencoderKL(dtype=dtype)
+        ctx_dim, latent = 768, image_size // 8
+
+    k = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, latent, latent, 4), dtype)
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, ctx_dim), dtype)
+    uparams = jax.jit(unet.init)({"params": k}, x, t, ctx)["params"]
+    vparams = jax.jit(vae.init)({"params": k},
+                                jnp.zeros((1, image_size, image_size, 3), dtype),
+                                k)
+    cond = jax.random.normal(k, (1, 77, ctx_dim), dtype)
+    uncond = jnp.zeros((1, 77, ctx_dim), dtype)
+
+    schedule = DiffusionSchedule.create(1000, "scaled_linear", 0.00085, 0.012)
+
+    # params/embeddings MUST be jit *arguments*: closing over them embeds
+    # 860M weights as HLO constants and compile time explodes.
+    @jax.jit
+    def generate(uparams, vparams, cond, uncond, key):
+        def raw_fn(z, tt, emb):
+            return unet.apply({"params": uparams}, z, tt, emb)
+
+        model_fn = with_cfg(raw_fn, cond, uncond, 7.5)
+        latents = sample(sampler_name, model_fn, schedule,
+                         (batch_size, latent, latent, 4), key, steps)
+        return vae.apply(vparams, latents.astype(dtype) / 0.18215,
+                         method=vae.decode)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    generate(uparams, vparams, cond, uncond,
+             jax.random.PRNGKey(1)).block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        generate(uparams, vparams, cond, uncond,
+                 jax.random.PRNGKey(2 + i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "samples_per_sec": batch_size / best,
+        "sec_per_batch": best,
+        "compile_sec": compile_s,
+        "batch_size": batch_size,
+    }
+
+
+def bench_classifier_train(batch_size: int = 16, image_size: int = 224,
+                           repeats: int = 5) -> dict:
+    from polyp_tpu.configs import ClassificationConfig
+    from polyp_tpu.train.classifier import create_classifier_state, train_step
+    from polyp_tpu.utils.rng import key_for
+
+    cfg = ClassificationConfig(image_size=image_size, batch_size=batch_size)
+    state, _ = create_classifier_state(cfg, 3, jax.random.PRNGKey(0))
+    images = jnp.zeros((batch_size, image_size, image_size, 3), jnp.uint8)
+    labels = jnp.zeros((batch_size,), jnp.int32)
+    state, loss, _ = train_step(state, images, labels, key_for(0, "w", 0),
+                                None, "bf16")
+    jax.block_until_ready(state.params)
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        state, loss, _ = train_step(state, images, labels,
+                                    key_for(0, "b", i), None, "bf16")
+        jax.block_until_ready(state.params)
+        times.append(time.perf_counter() - t0)
+    return {"train_images_per_sec": batch_size / min(times)}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--image-size", type=int, default=256)
+    parser.add_argument("--sampler", default="ddim")
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--train", action="store_true")
+    args = parser.parse_args()
+
+    result = bench_sampling(args.batch, args.image_size, args.steps,
+                            args.sampler, args.quick)
+    value = result["samples_per_sec"]
+    out = {
+        "metric": f"{args.image_size}px diffusion samples/sec/chip "
+                  f"({args.steps}-step {args.sampler.upper()})",
+        "value": round(value, 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(value / REFERENCE_CPU_SAMPLES_PER_SEC, 2),
+    }
+    if args.train:
+        out["classifier_train_images_per_sec"] = round(
+            bench_classifier_train()["train_images_per_sec"], 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

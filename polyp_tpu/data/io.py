@@ -9,6 +9,7 @@ slice + H2D copy. Resize matches torchvision's `transforms.Resize`
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -32,10 +33,24 @@ def apply_mask(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return image * mask[..., None].astype(image.dtype)
 
 
+def _use_native() -> bool:
+    """Native C++ resize path (half-pixel bilinear, cv2-convention) is
+    opt-in: PIL's BILINEAR applies a triangle filter on downscale, so the
+    two differ slightly and PIL stays the parity default."""
+    if os.environ.get("POLYP_NATIVE_PREPROCESS", "0") != "1":
+        return False
+    from polyp_tpu.data import native
+    return native.available()
+
+
 def resize_image(image: np.ndarray, size: int) -> np.ndarray:
-    """Bilinear resize to (size, size), torchvision/PIL-parity."""
+    """Bilinear resize to (size, size), torchvision/PIL-parity (or the
+    native C++ kernel when POLYP_NATIVE_PREPROCESS=1)."""
     if image.shape[0] == size and image.shape[1] == size:
         return image
+    if _use_native():
+        from polyp_tpu.data import native
+        return native.resize_bilinear(image, size)
     im = Image.fromarray(image)
     return np.asarray(im.resize((size, size), Image.BILINEAR))
 

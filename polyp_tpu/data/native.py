@@ -1,0 +1,120 @@
+"""ctypes bindings for the native preprocessing library
+(native/libpolyp_preprocess.so), with transparent PIL fallback.
+
+The cache-build hot path (decode → mask multiply → bilinear resize,
+io.load_preprocessed) switches to the C++ implementation when the library
+has been built (`make -C native`); behavior is identical within uint8
+rounding (guarded by tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_SEARCHED = False
+
+
+def _find_lib():
+    global _LIB, _SEARCHED
+    if _SEARCHED:
+        return _LIB
+    _SEARCHED = True
+    candidates = [
+        Path(__file__).resolve().parents[2] / "native" / "libpolyp_preprocess.so",
+        Path(os.environ.get("POLYP_NATIVE_LIB", "/nonexistent")),
+    ]
+    for path in candidates:
+        if path.exists():
+            lib = ctypes.CDLL(str(path))
+            lib.polyp_resize_bilinear.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            lib.polyp_mask_multiply.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int]
+            lib.polyp_batch_preprocess.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            _LIB = lib
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return _find_lib() is not None
+
+
+def resize_bilinear(image: np.ndarray, size: int) -> np.ndarray:
+    """Native bilinear resize of uint8 HWC to (size, size)."""
+    lib = _find_lib()
+    if lib is None:
+        raise RuntimeError("native preprocess library not built; "
+                           "run `make -C native`")
+    image = np.ascontiguousarray(image, np.uint8)
+    h, w, c = image.shape
+    out = np.empty((size, size, c), np.uint8)
+    lib.polyp_resize_bilinear(image.ctypes.data, h, w, c,
+                              out.ctypes.data, size, size)
+    return out
+
+
+def mask_multiply(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    lib = _find_lib()
+    if lib is None:
+        raise RuntimeError("native preprocess library not built")
+    image = np.ascontiguousarray(image, np.uint8).copy()
+    mask_u8 = np.ascontiguousarray(mask, np.uint8)
+    h, w, c = image.shape
+    lib.polyp_mask_multiply(image.ctypes.data, mask_u8.ctypes.data, h, w, c)
+    return image
+
+
+def batch_preprocess(images: list[np.ndarray], size: int,
+                     masks: list[np.ndarray] | None = None,
+                     num_threads: int | None = None) -> np.ndarray:
+    """Resize (+ optional mask multiply) a list of decoded uint8 HWC images
+    to [N, size, size, C] on the native thread pool."""
+    lib = _find_lib()
+    if lib is None:
+        raise RuntimeError("native preprocess library not built")
+    n = len(images)
+    c = images[0].shape[2]
+    shapes = np.empty(2 * n, np.int32)
+    offsets = np.empty(n, np.int64)
+    total = 0
+    for i, img in enumerate(images):
+        shapes[2 * i], shapes[2 * i + 1] = img.shape[:2]
+        offsets[i] = total
+        total += img.shape[0] * img.shape[1] * c
+    packed = np.empty(total, np.uint8)
+    for i, img in enumerate(images):
+        flat = np.ascontiguousarray(img, np.uint8).reshape(-1)
+        packed[offsets[i]:offsets[i] + flat.size] = flat
+
+    mask_buf = None
+    mask_offsets = None
+    if masks is not None:
+        mask_offsets = np.empty(n, np.int64)
+        mtotal = 0
+        for i, m in enumerate(masks):
+            mask_offsets[i] = mtotal
+            mtotal += m.size
+        mask_buf = np.empty(mtotal, np.uint8)
+        for i, m in enumerate(masks):
+            flat = np.ascontiguousarray(m, np.uint8).reshape(-1)
+            mask_buf[mask_offsets[i]:mask_offsets[i] + flat.size] = flat
+
+    out = np.empty((n, size, size, c), np.uint8)
+    threads = num_threads or min(os.cpu_count() or 1, 8)
+    lib.polyp_batch_preprocess(
+        packed.ctypes.data, offsets.ctypes.data, shapes.ctypes.data, n, c,
+        mask_buf.ctypes.data if mask_buf is not None else None,
+        mask_offsets.ctypes.data if mask_offsets is not None else None,
+        out.ctypes.data, size, size, threads)
+    return out

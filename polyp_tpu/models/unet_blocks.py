@@ -112,15 +112,16 @@ class Attention(nn.Module):
     num_heads: int
     head_dim: int
     out_features: int | None = None
+    qkv_bias: bool = False  # SD UNet: False; SD VAE attention: True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array | None = None) -> jax.Array:
         inner = self.num_heads * self.head_dim
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(ctx)
         n, tq, _ = q.shape
         tk = k.shape[1]
         q = q.reshape(n, tq, self.num_heads, self.head_dim)
@@ -144,6 +145,7 @@ class SpatialSelfAttention(nn.Module):
     num_heads: int | None = None
     groups: int = 32
     eps: float = 1e-5
+    qkv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -153,7 +155,8 @@ class SpatialSelfAttention(nn.Module):
         residual = x
         y = GroupNorm(self.groups, self.eps, name="group_norm")(x)
         y = y.reshape(n, h * w, c)
-        y = Attention(heads, c // heads, dtype=self.dtype, name="attention")(y)
+        y = Attention(heads, c // heads, qkv_bias=self.qkv_bias,
+                      dtype=self.dtype, name="attention")(y)
         return residual + y.reshape(n, h, w, c)
 
 

@@ -65,8 +65,8 @@ class Encoder(nn.Module):
                                  name=f"down_{i}_downsample")(h)
         h = ResnetBlock2D(ch[-1], use_time_emb=False, eps=1e-6,
                           dtype=self.dtype, name="mid_res_0")(h)
-        h = SpatialSelfAttention(num_heads=1, eps=1e-6, dtype=self.dtype,
-                                 name="mid_attn")(h)
+        h = SpatialSelfAttention(num_heads=1, eps=1e-6, qkv_bias=True,
+                                 dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(ch[-1], use_time_emb=False, eps=1e-6,
                           dtype=self.dtype, name="mid_res_1")(h)
         h = GroupNorm(32, 1e-6, act="silu", name="conv_norm_out")(h)
@@ -87,8 +87,8 @@ class Decoder(nn.Module):
                     name="conv_in")(z.astype(self.dtype))
         h = ResnetBlock2D(ch[0], use_time_emb=False, eps=1e-6,
                           dtype=self.dtype, name="mid_res_0")(h)
-        h = SpatialSelfAttention(num_heads=1, eps=1e-6, dtype=self.dtype,
-                                 name="mid_attn")(h)
+        h = SpatialSelfAttention(num_heads=1, eps=1e-6, qkv_bias=True,
+                                 dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(ch[0], use_time_emb=False, eps=1e-6,
                           dtype=self.dtype, name="mid_res_1")(h)
         for i, c in enumerate(ch):
@@ -116,8 +116,13 @@ class AutoencoderKL(nn.Module):
         self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1),
                                        dtype=jnp.float32, name="post_quant_conv")
 
+    def encode_moments(self, x: jax.Array) -> jax.Array:
+        """Raw (mean‖logvar) channels — a plain array, safe to pass across
+        jit boundaries (DiagonalGaussian is not a pytree)."""
+        return self.quant_conv(self.encoder(x))
+
     def encode(self, x: jax.Array) -> DiagonalGaussian:
-        return DiagonalGaussian(self.quant_conv(self.encoder(x)))
+        return DiagonalGaussian(self.encode_moments(x))
 
     def decode(self, z: jax.Array) -> jax.Array:
         return self.decoder(self.post_quant_conv(z))

@@ -8,6 +8,8 @@ mean/var across (H, W, C/G).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -16,9 +18,9 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                num_groups: int = 32, eps: float = 1e-5,
                act: str | None = None) -> jax.Array:
     n, h, w, c = x.shape
-    g = min(num_groups, c)  # tiny test models have < 32 channels
-    if c % g:
-        raise ValueError(f"channels {c} not divisible by groups {g}")
+    # gcd keeps the full group count for all production widths (multiples of
+    # 32); tiny test models and odd skip-concat widths degrade gracefully.
+    g = math.gcd(c, num_groups)
     xf = x.reshape(n, h, w, g, c // g).astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
     var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)

@@ -1,0 +1,73 @@
+"""Device mesh construction and batch/param sharding.
+
+The reference has no multi-device parallelism (SURVEY §2: single GPU,
+SLURM gres gpu:1). Here scale-out is first-class and TPU-shaped:
+
+* 1-D `('data',)` mesh — batch data-parallelism over ICI; the natural fit
+  for batch-8..20 polyp workloads and for sampling fan-out (per-class quota
+  generation parallelizes trivially).
+* 2-D `('data','model')` mesh — adds tensor-sharded attention/FF for the
+  860M SD UNet (see sharding.py) when it outgrows one chip's HBM.
+* Multi-host: `jax.distributed.initialize()` over DCN, then the same mesh
+  spans all processes; per-host data sharding comes from `shard_batch`.
+
+Collectives are never written by hand here — jit over sharded arrays lets
+XLA insert psum/all-gather on ICI (the scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axes: Mapping[str, int] | None = None,
+              devices=None) -> Mesh:
+    """Mesh over the given axis sizes, e.g. {'data': 4, 'model': 2}.
+    Defaults to a 1-D data mesh over all local devices."""
+    devices = devices if devices is not None else jax.devices()
+    if axes is None:
+        axes = {"data": len(devices)}
+    names = tuple(axes)
+    sizes = tuple(axes.values())
+    if int(np.prod(sizes)) != len(devices):
+        raise ValueError(f"mesh {dict(axes)} needs {np.prod(sizes)} devices, "
+                         f"got {len(devices)}")
+    arr = np.asarray(devices).reshape(sizes)
+    return Mesh(arr, names)
+
+
+def local_mesh(max_devices: int | None = None) -> Mesh:
+    """1-D data mesh over (up to) all local devices."""
+    devices = jax.devices()
+    if max_devices is not None:
+        devices = devices[:max_devices]
+    return make_mesh({"data": len(devices)}, devices)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) dim on 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """device_put every array in a batch pytree with batch-dim sharding."""
+    def put(x):
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def multihost_init() -> None:
+    """Bring-up for multi-host pods over DCN (no-op on a single process).
+    Controlled by the standard JAX env vars / cluster auto-detection."""
+    if int(os.environ.get("JAX_PROCESS_COUNT", "1")) > 1 or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

@@ -1,0 +1,192 @@
+"""Generation pipelines: quota-driven batched sampling with deterministic
+seeds, PNG persistence, and idempotent top-up resume.
+
+Replaces the reference's pipeline objects and their Python sampling loops:
+* DDPMPipeline quota loop (train_from_scratch.py:39-66) — pixel space;
+* StableDiffusionPipeline 25-step CFG loop (train_with_lora_per_class.py:59-88)
+  — latent space with VAE decode;
+* the filesystem-state resume that tops up only missing samples
+  (train_with_lora_per_class.py:264-290).
+
+Determinism contract: batch `i` uses PRNGKey(seed + i)
+(`torch.Generator('cpu').manual_seed(config.seed + batch_id)` parity), so a
+top-up resumes at batch `existing // eval_batch` and regenerates
+byte-identical batches. (The reference's own top-up restarts batch ids at 0
+and saves over files 1..k — an overwrite bug; this implementation appends
+the missing tail instead, keeping the seed↔file mapping stable.)
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
+from polyp_tpu.models.vae import SD_VAE_SCALING
+from polyp_tpu.utils.rng import batch_seed_key
+
+# fn(batch_size, key) -> float images in [-1, 1], NHWC
+BatchSampler = Callable[[int, jax.Array], jax.Array]
+
+
+def to_uint8(images: jax.Array) -> np.ndarray:
+    """[-1,1] float NHWC → uint8 (diffusers numpy_to_pil postprocess parity)."""
+    arr = np.asarray(jnp.clip(images / 2 + 0.5, 0.0, 1.0))
+    return (arr * 255).round().astype(np.uint8)
+
+
+class PixelDiffusionSampler:
+    """DDPMPipeline equivalent over a pixel-space UNet."""
+
+    def __init__(self, model, params, schedule: DiffusionSchedule,
+                 image_size: int, sampler: str = "ddpm",
+                 num_steps: int | None = None,
+                 text_embeddings: jax.Array | None = None):
+        self.model = model
+        self.params = params
+        self.schedule = schedule
+        self.image_size = image_size
+        self.sampler = sampler
+        self.num_steps = num_steps or schedule.num_train_timesteps
+        self.text_embeddings = text_embeddings
+
+        # jitted with params as ARGUMENTS (closing over them would embed the
+        # weights as HLO constants and blow up compile time); batch_size is
+        # static so quota-tail batches compile once per distinct size.
+        self._generate = jax.jit(self._generate_impl,
+                                 static_argnames=("batch_size",))
+
+    def _generate_impl(self, params, text_embeddings, key, batch_size: int):
+        shape = (batch_size, self.image_size, self.image_size,
+                 self.model.out_channels)
+
+        if text_embeddings is not None:
+            ctx = jnp.broadcast_to(text_embeddings,
+                                   (batch_size,) + text_embeddings.shape[-2:])
+
+            def model_fn(x, t):
+                return self.model.apply({"params": params}, x, t, ctx)
+        else:
+            def model_fn(x, t):
+                return self.model.apply({"params": params}, x, t)
+
+        return sample(self.sampler, model_fn, self.schedule, shape, key,
+                      self.num_steps)
+
+    def __call__(self, batch_size: int, key: jax.Array) -> jax.Array:
+        return self._generate(self.params, self.text_embeddings, key,
+                              batch_size=batch_size)
+
+
+class StableDiffusionSampler:
+    """StableDiffusionPipeline equivalent: prompt → CLIP → CFG UNet sampling
+    → VAE decode. `safety_checker=None` parity is implicit — there is none."""
+
+    def __init__(self, unet, unet_params, vae, vae_params, text_model,
+                 text_params, tokenizer, schedule: DiffusionSchedule,
+                 image_size: int = 256, num_steps: int = 25,
+                 guidance_scale: float = 7.5, sampler: str = "unipc"):
+        self.unet = unet
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.text_model = text_model
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+        self.schedule = schedule
+        self.image_size = image_size
+        self.num_steps = num_steps
+        self.guidance_scale = guidance_scale
+        self.sampler = sampler
+        self._encode_cache: dict[str, jax.Array] = {}
+
+    def encode_prompt(self, prompt: str) -> jax.Array:
+        if prompt not in self._encode_cache:
+            ids = jnp.asarray(self.tokenizer([prompt]))
+            self._encode_cache[prompt] = self.text_model.apply(
+                self.text_params, ids)
+        return self._encode_cache[prompt]
+
+    def _generate_impl(self, unet_params, vae_params, cond, uncond, key,
+                       batch_size: int):
+        latent_size = self.image_size // 8
+
+        def raw_fn(x, t, emb):
+            return self.unet.apply({"params": unet_params}, x, t, emb)
+
+        model_fn = with_cfg(raw_fn, cond, uncond, self.guidance_scale)
+        shape = (batch_size, latent_size, latent_size, 4)
+        latents = sample(self.sampler, model_fn, self.schedule, shape,
+                         key, self.num_steps)
+        return self.vae.apply(vae_params, latents / SD_VAE_SCALING,
+                              method=self.vae.decode)
+
+    def for_prompt(self, prompt: str) -> BatchSampler:
+        cond = self.encode_prompt(prompt)
+        uncond = self.encode_prompt("")
+        # params as jit args (see PixelDiffusionSampler note)
+        generate = jax.jit(self._generate_impl,
+                           static_argnames=("batch_size",))
+
+        def sampler_fn(batch_size: int, key: jax.Array) -> jax.Array:
+            return generate(self.unet_params, self.vae_params, cond, uncond,
+                            key, batch_size=batch_size)
+
+        return sampler_fn
+
+
+def generate_to_dir(sampler_fn: BatchSampler, num_images: int,
+                    out_dir: str | Path, eval_batch_size: int = 20,
+                    seed: int = 0, start_index: int = 0,
+                    start_batch: int = 0,
+                    progress: Callable[[int, int], None] | None = None) -> int:
+    """Quota loop: batched generation with PRNGKey(seed+batch_id), 1-based
+    PNG filenames (train_with_lora_per_class.py:69-88). Returns images
+    written."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    total = 0
+    batch_id = start_batch
+    while total < num_images:
+        bs = min(eval_batch_size, num_images - total)
+        images = sampler_fn(bs, batch_seed_key(seed, batch_id))
+        for i, img in enumerate(to_uint8(images)):
+            Image.fromarray(img).save(
+                out_dir / f"{start_index + total + i + 1}.png")
+        total += bs
+        batch_id += 1
+        if progress:
+            progress(total, num_images)
+    return total
+
+
+def count_samples(out_dir: str | Path) -> int:
+    """File-count probe for resume (train_with_lora_per_class.py:265-266)."""
+    p = Path(out_dir)
+    if not p.exists():
+        return 0
+    return sum(1 for f in p.iterdir() if f.is_file())
+
+
+def top_up_samples(sampler_fn: BatchSampler, quota: int, out_dir: str | Path,
+                   eval_batch_size: int = 20, seed: int = 0,
+                   progress: Callable[[int, int], None] | None = None) -> int:
+    """Idempotent top-up: generate only the missing tail, resuming the
+    deterministic batch sequence so regenerated batches are identical. The
+    partial last batch (if any) is regenerated in full to keep the
+    seed↔image mapping exact."""
+    existing = count_samples(out_dir)
+    if existing >= quota:
+        return 0
+    resume_batch = existing // eval_batch_size
+    resume_index = resume_batch * eval_batch_size
+    return generate_to_dir(sampler_fn, quota - resume_index, out_dir,
+                           eval_batch_size, seed,
+                           start_index=resume_index,
+                           start_batch=resume_batch, progress=progress)

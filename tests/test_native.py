@@ -1,0 +1,62 @@
+"""Native C++ preprocessing kernels vs reference implementations."""
+
+import numpy as np
+import pytest
+
+from polyp_tpu.data import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib not built (make -C native)")
+
+
+def _img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 255, (h, w, 3), np.uint8)
+
+
+def test_resize_matches_cv2_half_pixel_convention():
+    cv2 = pytest.importorskip("cv2")
+    img = _img(37, 53)
+    ours = native.resize_bilinear(img, 64)
+    ref = cv2.resize(img, (64, 64), interpolation=cv2.INTER_LINEAR)
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, diff.max()  # rounding only
+
+
+def test_resize_identity_when_same_size():
+    img = _img(32, 32)
+    out = native.resize_bilinear(img, 32)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_mask_multiply_exact():
+    img = _img(16, 16)
+    mask = np.zeros((16, 16), np.uint8)
+    mask[4:12, 4:12] = 255
+    out = native.mask_multiply(img, mask)
+    assert (out[:4] == 0).all()
+    np.testing.assert_array_equal(out[4:12, 4:12], img[4:12, 4:12])
+
+
+def test_batch_preprocess_variable_shapes():
+    imgs = [_img(20, 30, 1), _img(50, 40, 2), _img(33, 33, 3)]
+    out = native.batch_preprocess(imgs, 24)
+    assert out.shape == (3, 24, 24, 3)
+    # each output equals the single-image kernel
+    for i, img in enumerate(imgs):
+        np.testing.assert_array_equal(out[i], native.resize_bilinear(img, 24))
+
+
+def test_batch_preprocess_with_masks():
+    imgs = [_img(16, 16, 4)]
+    mask = np.zeros((16, 16), np.uint8)
+    mask[:8] = 1
+    out = native.batch_preprocess(imgs, 16, masks=[mask])
+    assert (out[0, 8:] == 0).all()
+    np.testing.assert_array_equal(out[0, :8], imgs[0][:8])
+
+
+def test_deterministic_across_thread_counts():
+    imgs = [_img(40, 40, i) for i in range(6)]
+    a = native.batch_preprocess(imgs, 32, num_threads=1)
+    b = native.batch_preprocess(imgs, 32, num_threads=4)
+    np.testing.assert_array_equal(a, b)
