@@ -3,10 +3,24 @@ without TPU hardware (SURVEY §4 plan item d). Must run before jax imports."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the base environment exports JAX_PLATFORMS=axon (the real TPU)
+# and a sitecustomize imports jax at interpreter startup, so env-var edits
+# here are too late — use jax.config.update, which works any time before
+# backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache: repeat suite runs on this 1-core host reload
+# compiled graphs in seconds instead of recompiling for minutes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

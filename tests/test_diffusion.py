@@ -122,22 +122,22 @@ class TestSamplersOracle:
                         20, eta=1.0)
         assert float(jnp.max(jnp.abs(a - b))) > 1e-4
 
-    def test_unipc_beats_or_matches_euler_budget(self, schedule, x_star):
-        """Order-2 solvers at 10 steps should beat DDIM at 10 steps on a
-        curved oracle (x* recovery error)."""
+    def test_unipc_converges_at_low_step_budget(self, schedule, x_star):
+        """On the linear point-mass oracle DDIM is *exact* (x̂₀ ≡ x*), so a
+        relative DDIM comparison is vacuous; assert the order-2 solver's own
+        absolute convergence at a 10-step budget instead."""
         model_fn = _oracle_model(schedule, x_star)
-        e_ddim = float(jnp.mean(jnp.abs(ddim_sample(
-            model_fn, schedule, self.shape, jax.random.PRNGKey(3), 10) - x_star)))
         e_unipc = float(jnp.mean(jnp.abs(unipc_sample(
             model_fn, schedule, self.shape, jax.random.PRNGKey(3), 10) - x_star)))
-        assert e_unipc <= e_ddim * 1.5
+        assert e_unipc < 5e-3, e_unipc
 
 
 class TestCFG:
     def test_cfg_combines_cond_uncond(self, schedule):
         def raw_fn(x, t, emb):
-            # "conditioning" shifts the output by the embedding mean
-            return jnp.zeros_like(x) + jnp.mean(emb)
+            # per-sample conditioning shift (a global mean would collapse the
+            # uncond/cond halves of the doubled batch to the same value)
+            return jnp.zeros_like(x) + jnp.mean(emb, axis=(1, 2))[:, None, None, None]
 
         cond = jnp.ones((1, 4, 8))
         uncond = jnp.zeros((1, 4, 8))

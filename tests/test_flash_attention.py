@@ -1,0 +1,67 @@
+"""Pallas flash-attention kernel vs XLA reference (interpret mode on CPU;
+the same kernel compiles natively on TPU via ops.attention dispatch)."""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from polyp_tpu.ops import flash_attention as fa
+
+
+def _interpret_flash(q, k, v, block_q=128, block_k=128):
+    """Run the kernel in interpreter mode (no TPU needed)."""
+    n, tq, h, d = q.shape
+    tk = k.shape[1]
+    sm_scale = 1.0 / math.sqrt(d)
+    qf = q.transpose(0, 2, 1, 3).reshape(n * h, tq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(n * h, tk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(n * h, tk, d)
+    kernel = functools.partial(fa._flash_kernel, block_k=block_k,
+                               sm_scale=sm_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n * h, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, tk, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n * h, tq, d), q.dtype),
+        interpret=True,
+    )(qf, kf, vf)
+    return out.reshape(n, h, tq, d).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("tq,tk,d", [(256, 256, 64), (256, 128, 64)])
+def test_flash_matches_xla(tq, tk, d):
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (1, tq, 2, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, tk, 2, d))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, tk, 2, d))
+    ours = _interpret_flash(q, k, v)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_supported_predicate():
+    q = jnp.zeros((1, 1024, 8, 64))
+    assert not fa.supported(q, q, q, mask=jnp.ones(1), is_causal=False)
+    assert not fa.supported(q, q, q, None, is_causal=True)
+    # off-TPU backend → unsupported even with good shapes
+    supported_here = fa.supported(q, q, q, None, False)
+    assert supported_here == (jax.default_backend() == "tpu")
+
+
+def test_profitable_threshold():
+    small = jnp.zeros((1, 256, 8, 64))
+    big = jnp.zeros((1, 1024, 8, 64))
+    assert not fa.profitable(small, small, small)
+    assert fa.profitable(big, big, big)

@@ -87,8 +87,10 @@ def test_tp_forward_matches_replicated():
     ctx = jnp.ones((2, 4, 32))
     params = unet.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
     expected = unet.apply({"params": params}, x, t, ctx)
-    with jax.set_mesh(mesh):
-        sharded = shard_params(params, mesh)
-        got = unet.apply({"params": sharded}, x, t, ctx)
+    # auto sharding mode: resident NamedShardings on params are enough; XLA
+    # partitions the jitted computation and inserts collectives.
+    sharded = shard_params(params, mesh)
+    apply = jax.jit(lambda p, x, t, c: unet.apply({"params": p}, x, t, c))
+    got = apply(sharded, x, t, ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-5)

@@ -155,7 +155,13 @@ class TestSDLoRA:
         tok.add_tokens(["sks"])
         text_params = resize_token_embeddings(frozen.text_params, len(tok),
                                               jax.random.PRNGKey(3))
-        frozen = frozen.replace(text_params=text_params)
+        # the module's static vocab_size must track the grown table
+        import dataclasses
+        text_grown = CLIPTextModel(dataclasses.replace(
+            TINY_TEXT_CONFIG, vocab_size=len(tok)))
+        frozen = frozen.replace(
+            text_params=text_params,
+            text_apply=lambda p, ids: text_grown.apply({"params": p}, ids))
         special_id = tok.convert_tokens_to_ids("sks")
         row = dreambooth_token_init(text_params, tok, "AD")
         trainable = init_trainable(
@@ -166,10 +172,11 @@ class TestSDLoRA:
         state = create_sd_train_state(CFG, trainable)
         ids = jnp.asarray(tok("a photo of sks polyp"))
         prev_row = np.asarray(trainable["special_rows"])
-        state, loss = sd_lora_train_step(
-            state, frozen, SCHED, jnp.asarray(_images(2)), ids,
-            jnp.asarray([special_id], jnp.int32), jax.random.PRNGKey(5),
-            lcfg, tcfg, 1.0, 0.1)
+        for i in range(2):  # warmup LR is 0 at step 0
+            state, loss = sd_lora_train_step(
+                state, frozen, SCHED, jnp.asarray(_images(2)), ids,
+                jnp.asarray([special_id], jnp.int32), jax.random.PRNGKey(5 + i),
+                lcfg, tcfg, 1.0, 0.1)
         assert np.isfinite(float(loss))
         # the special row trains; base table is frozen by construction
         assert float(np.max(np.abs(
