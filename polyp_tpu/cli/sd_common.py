@@ -86,7 +86,11 @@ def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,
                      config.modules_lora)
     bundle = load_lora(lora_dir)  # full trainable bundle (see train_class)
     adapter = bundle.get("unet_lora", bundle)  # old adapter-only ckpts too
-    merged = merge_lora(stack.unet_params, adapter, lcfg)
+    unet_base = stack.unet_params
+    if "unfrozen" in bundle:
+        from polyp_tpu.lora.partition import overlay_params
+        unet_base = overlay_params(unet_base, bundle["unfrozen"])
+    merged = merge_lora(unet_base, adapter, lcfg)
     text_params = stack.text_params["params"]
     if "special_ids" in bundle:
         # restore the DreamBooth token: re-register it in the tokenizer and
@@ -161,6 +165,15 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
     proj = (init_proj_params(jax.random.fold_in(rng, 2))
             if flags.add_visual_influence else None)
 
+    unfrozen = None
+    if flags.unfreeze_layers:
+        # base attention projections train alongside the adapter
+        # (train_with_lora_per_class.py:318-323)
+        from polyp_tpu.lora.partition import extract_by_mask
+        unfrozen = extract_by_mask(
+            stack.unet_params,
+            path_mask(stack.unet_params, ["to_q", "to_k", "to_v", "to_out"]))
+
     special_rows = None
     special_ids = None
     text_params = stack.text_params["params"]
@@ -205,7 +218,8 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
             "target_modules_lora": list(cfg.modules_lora),
         })
 
-    trainable = init_trainable(adapter, text_lora, proj, special_rows)
+    trainable = init_trainable(adapter, text_lora, proj, special_rows,
+                               unfrozen)
     state = create_sd_train_state(cfg, trainable)
     frozen = make_components(stack)
     frozen = frozen.replace(text_params=text_params)
@@ -228,7 +242,11 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
     if special_ids is not None:
         bundle["special_ids"] = jnp.asarray(special_ids, jnp.int32)
     save_lora(save_path, bundle)
-    merged = merge_lora(stack.unet_params, state.trainable["unet_lora"], lcfg)
+    unet_base = stack.unet_params
+    if "unfrozen" in state.trainable:
+        from polyp_tpu.lora.partition import overlay_params
+        unet_base = overlay_params(unet_base, state.trainable["unfrozen"])
+    merged = merge_lora(unet_base, state.trainable["unet_lora"], lcfg)
     final_text = text_params
     if "special_rows" in state.trainable:
         from polyp_tpu.train.dreambooth import embed_with_special_rows

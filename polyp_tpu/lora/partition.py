@@ -27,6 +27,37 @@ def path_mask(params: Any, substrings: Sequence[str]) -> Any:
     return walk(params, "")
 
 
+def extract_by_mask(params: Any, mask: Any) -> Any:
+    """Subtree of `params` keeping only mask-True leaves (empty branches
+    dropped) — the trainable subset for unfreeze_layers."""
+
+    def walk(p, m):
+        if isinstance(p, dict):
+            out = {}
+            for k, v in p.items():
+                sub = walk(v, m[k])
+                if sub is not None and (not isinstance(sub, dict) or sub):
+                    out[k] = sub
+            return out
+        return p if m else None
+
+    return walk(params, mask)
+
+
+def overlay_params(base: Any, subset: Any) -> Any:
+    """Base tree with `subset` leaves substituted (functional update);
+    gradients flow only into the subset when it is the traced argument."""
+    if not isinstance(base, dict):
+        return subset if subset is not None else base
+    out = {}
+    for k, v in base.items():
+        if isinstance(subset, dict) and k in subset:
+            out[k] = overlay_params(v, subset[k])
+        else:
+            out[k] = v
+    return out
+
+
 def trainable_count(params: Any, mask: Any) -> tuple[int, int]:
     """(trainable, total) parameter counts under a mask — for the
     trainable-% printout parity (PolypGeneratorModel.py:56-58)."""

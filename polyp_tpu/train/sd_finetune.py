@@ -76,7 +76,8 @@ def make_sd_optimizer(config: DiffusionConfig) -> optax.GradientTransformation:
 
 def init_trainable(unet_lora: Any, text_lora: Any | None = None,
                    proj: Any | None = None,
-                   special_rows: jax.Array | None = None) -> dict:
+                   special_rows: jax.Array | None = None,
+                   unfrozen: Any | None = None) -> dict:
     out = {"unet_lora": unet_lora}
     if text_lora is not None:
         out["text_lora"] = text_lora
@@ -84,6 +85,8 @@ def init_trainable(unet_lora: Any, text_lora: Any | None = None,
         out["proj"] = proj
     if special_rows is not None:
         out["special_rows"] = special_rows
+    if unfrozen is not None:
+        out["unfrozen"] = unfrozen
     return out
 
 
@@ -147,7 +150,14 @@ def sd_lora_train_step(
                 if "special_rows" not in trainable else \
                 frozen.text_apply(text_params, ids)
 
-        unet_params = merge_lora(frozen.unet_params, trainable["unet_lora"],
+        unet_base = frozen.unet_params
+        if "unfrozen" in trainable:
+            # --unfreeze_layers: selected base weights train alongside the
+            # adapter (train_with_lora_per_class.py:318-323)
+            from polyp_tpu.lora.partition import overlay_params
+            unet_base = overlay_params(jax.lax.stop_gradient(unet_base),
+                                       trainable["unfrozen"])
+        unet_params = merge_lora(unet_base, trainable["unet_lora"],
                                  unet_lora_cfg,
                                  dropout_rng=jax.random.fold_in(k_drop, 0),
                                  train=True)

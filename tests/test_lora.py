@@ -125,3 +125,23 @@ def test_path_mask_and_counts(unet_params):
     mask_all = path_mask(params, [""])
     t2, _ = trainable_count(params, mask_all)
     assert t2 == total
+
+
+def test_extract_and_overlay(unet_params):
+    from polyp_tpu.lora.partition import extract_by_mask, overlay_params
+
+    _, params = unet_params
+    mask = path_mask(params, ["to_q"])
+    subset = extract_by_mask(params, mask)
+    # subset contains only to_q kernels
+    leaves = jax.tree_util.tree_leaves_with_path(subset)
+    assert leaves and all("to_q" in str(p) for p, _ in leaves)
+    # overlay with modified subset replaces exactly those leaves
+    bumped = jax.tree_util.tree_map(lambda x: x + 1.0, subset)
+    merged = overlay_params(params, bumped)
+    q = merged["down_0_attn_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    q0 = params["down_0_attn_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q0) + 1.0, rtol=1e-6)
+    k = merged["down_0_attn_0"]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(
+        params["down_0_attn_0"]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"]))

@@ -217,3 +217,30 @@ class TestDreamboothHelpers:
         out = resize_token_embeddings(params, 12, jax.random.PRNGKey(0))
         assert out["token_embedding"].shape == (12, 4)
         np.testing.assert_array_equal(np.asarray(out["token_embedding"][:10]), 0)
+
+
+class TestUnfreezeLayers:
+    def test_unfrozen_base_weights_train(self, sd_stack):
+        """--unfreeze_layers: base attention weights receive updates
+        alongside the adapter (train_with_lora_per_class.py:318-323)."""
+        from polyp_tpu.lora.partition import extract_by_mask, path_mask
+
+        unet, vae, text, frozen = sd_stack
+        lcfg = LoRAConfig(rank=2)
+        adapter = init_lora(frozen.unet_params, lcfg, jax.random.PRNGKey(1))
+        unfrozen = extract_by_mask(
+            frozen.unet_params,
+            path_mask(frozen.unet_params, ["to_q", "to_k", "to_v", "to_out"]))
+        state = create_sd_train_state(
+            CFG, init_trainable(adapter, unfrozen=unfrozen))
+        before = jax.tree_util.tree_leaves(state.trainable["unfrozen"])[0]
+        before = np.asarray(before).copy()
+        ids = jnp.zeros((1, 16), jnp.int32)
+        for i in range(2):  # warmup LR is 0 at step 0
+            state, loss = sd_lora_train_step(
+                state, frozen, SCHED, jnp.asarray(_images(2)), ids,
+                jnp.zeros((1,), jnp.int32), jax.random.PRNGKey(7 + i), lcfg)
+        after = np.asarray(jax.tree_util.tree_leaves(
+            state.trainable["unfrozen"])[0])
+        assert np.isfinite(float(loss))
+        assert float(np.max(np.abs(after - before))) > 0
