@@ -77,17 +77,24 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
         return vae.apply(vparams, latents.astype(dtype) / 0.18215,
                          method=vae.decode)
 
+    def run_sync(key) -> float:
+        # Host-fetch a full reduction: block_until_ready alone has been
+        # observed returning early under the experimental axon tunnel;
+        # device_get of a scalar that depends on every output element
+        # cannot complete before the computation does.
+        out = generate(uparams, vparams, cond, uncond, key)
+        return float(jax.device_get(jnp.mean(out.astype(jnp.float32))))
+
     # compile + warmup
     t0 = time.perf_counter()
-    generate(uparams, vparams, cond, uncond,
-             jax.random.PRNGKey(1)).block_until_ready()
+    checksum = run_sync(jax.random.PRNGKey(1))
     compile_s = time.perf_counter() - t0
+    assert np.isfinite(checksum), "non-finite sample output"
 
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        generate(uparams, vparams, cond, uncond,
-                 jax.random.PRNGKey(2 + i)).block_until_ready()
+        run_sync(jax.random.PRNGKey(2 + i))
         times.append(time.perf_counter() - t0)
     best = min(times)
     return {

@@ -119,11 +119,14 @@ def train_scratch_ddpm(
     text_embeddings: jax.Array | None = None,
     log: Callable[[str, float, int], None] | None = None,
     epoch_callback: Callable[[int, DDPMState], None] | None = None,
+    checkpointer=None,
+    start_epoch: int = 0,
 ) -> tuple[DDPMState, DDPMTrainResult]:
     """Epoch loop (train_from_scratch.py:80-133); `epoch_callback` hosts the
-    reference's final-epoch sample+save hook (:121-133)."""
+    reference's final-epoch sample+save hook (:121-133). Pass an
+    `EpochCheckpointer` (train/resume.py) for crash-resumable snapshots."""
     result = DDPMTrainResult()
-    for epoch in range(config.num_epochs):
+    for epoch in range(start_epoch, config.num_epochs):
         losses = []
         for step, (images, _, _) in enumerate(loader):
             key = key_for(config.seed, "ddpm", epoch, step)
@@ -134,6 +137,8 @@ def train_scratch_ddpm(
         result.loss_hist.append(avg)
         if log:
             log("train_loss", avg, epoch)
+        if checkpointer is not None:
+            checkpointer.save(epoch, state)
         if epoch_callback:
             epoch_callback(epoch, state)
     return state, result

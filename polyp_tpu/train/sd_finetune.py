@@ -53,6 +53,12 @@ class SDComponents(struct.PyTreeNode):
     vae_encode: Callable = struct.field(pytree_node=False)  # (params, x) → moments
     text_apply: Callable = struct.field(pytree_node=False)
 
+    def with_remat(self) -> "SDComponents":
+        """Rematerialize the UNet forward in the backward pass — trades
+        FLOPs for activation memory so larger train batches fit one chip's
+        HBM (jax.checkpoint over the whole denoiser apply)."""
+        return self.replace(unet_apply=jax.checkpoint(self.unet_apply))
+
 
 class SDTrainState(struct.PyTreeNode):
     step: jax.Array
@@ -194,14 +200,17 @@ def train_sd_lora(
     special_ids: np.ndarray | None = None,
     log: Callable[[str, float, int], None] | None = None,
     epoch_callback: Callable[[int, SDTrainState], None] | None = None,
+    checkpointer=None,
+    start_epoch: int = 0,
 ) -> tuple[SDTrainState, SDTrainResult]:
     """Epoch loop (train_with_lora_per_class.py:115-166); the final-epoch
-    save-generate-log hook (:168-199) lives in `epoch_callback`."""
+    save-generate-log hook (:168-199) lives in `epoch_callback`. Pass an
+    `EpochCheckpointer` (train/resume.py) for crash-resumable snapshots."""
     result = SDTrainResult()
     ids = jnp.asarray(prompt_ids)
     sids = (jnp.asarray(special_ids, jnp.int32) if special_ids is not None
             else jnp.zeros((1,), jnp.int32))
-    for epoch in range(config.num_epochs):
+    for epoch in range(start_epoch, config.num_epochs):
         losses = []
         for step, (images, _, _) in enumerate(loader):
             key = key_for(config.seed, "sd_lora", epoch, step)
@@ -214,6 +223,8 @@ def train_sd_lora(
         result.loss_hist.append(avg)
         if log:
             log("train_loss", avg, epoch)
+        if checkpointer is not None:
+            checkpointer.save(epoch, state)
         if epoch_callback:
             epoch_callback(epoch, state)
     return state, result
