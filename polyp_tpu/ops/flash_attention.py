@@ -32,8 +32,10 @@ def supported(q, k, v, mask, is_causal) -> bool:
         return False
     _, tq, _, d = q.shape
     tk = k.shape[1]
-    # need MXU-tileable token counts and lane-aligned head dim
-    return (tq % 128 == 0 and tk % 128 == 0 and d in (32, 64, 128)
+    # need MXU-tileable token counts; head dim ≤128 is zero-padded to a
+    # lane-aligned width inside the kernel wrapper (exact math — zeros add
+    # nothing to QKᵀ and padded V columns are sliced off)
+    return (tq % 128 == 0 and tk % 128 == 0 and d <= 128
             and jax.default_backend() == "tpu")
 
 
@@ -71,17 +73,36 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float):
     o_ref[...] = (acc / l).astype(o_ref.dtype)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 @functools.partial(jax.jit, static_argnames=("is_causal", "block_q", "block_k"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     is_causal: bool = False,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
-    """q,k,v: [N, T, H, D] (BTHD). Returns [N, Tq, H, D]."""
+    """q,k,v: [N, T, H, D] (BTHD). Returns [N, Tq, H, D].
+
+    Head dims that aren't lane-aligned (e.g. SD's 40/80) are zero-padded to
+    the next multiple of 64: padding adds exact zeros to QKᵀ and the padded
+    V output columns are sliced away; the softmax scale uses the true D.
+    """
     n, tq, h, d = q.shape
     tk = k.shape[1]
     block_q = min(block_q, tq)
     block_k = min(block_k, tk)
     sm_scale = 1.0 / math.sqrt(d)
+
+    d_pad = _round_up(d, 64)
+    if d_pad != d:
+        pad = [(0, 0), (0, 0), (0, 0), (0, d_pad - d)]
+        # pre-scale q so the recursive call's 1/√d_pad nets to 1/√d
+        q_scaled = q * jnp.asarray(math.sqrt(d_pad) / math.sqrt(d), q.dtype)
+        out = flash_attention(jnp.pad(q_scaled, pad), jnp.pad(k, pad),
+                              jnp.pad(v, pad), is_causal=is_causal,
+                              block_q=block_q, block_k=block_k)
+        return out[..., :d]
 
     # fold batch and heads into the grid's leading dim; tokens-major layout
     qf = q.transpose(0, 2, 1, 3).reshape(n * h, tq, d)

@@ -65,3 +65,29 @@ def test_profitable_threshold():
     big = jnp.zeros((1, 1024, 8, 64))
     assert not fa.profitable(small, small, small)
     assert fa.profitable(big, big, big)
+
+
+def test_unaligned_head_dim_padding_math():
+    """d=40 path (SD level-1): padded flash == XLA attention exactly
+    (interpret mode)."""
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (1, 256, 2, 40), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 256, 2, 40))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 256, 2, 40))
+    # emulate the padding wrapper with the interpret-mode kernel
+    d, d_pad = 40, 64
+    scale_fix = math.sqrt(d_pad) / math.sqrt(d)
+    pad = [(0, 0), (0, 0), (0, 0), (0, d_pad - d)]
+    ours = _interpret_flash(jnp.pad(q * scale_fix, pad), jnp.pad(k, pad),
+                            jnp.pad(v, pad))[..., :d]
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_supported_now_includes_sd_head_dims():
+    q40 = jnp.zeros((1, 1024, 8, 40))
+    q160 = jnp.zeros((1, 64, 8, 160))
+    on_tpu = jax.default_backend() == "tpu"
+    assert fa.supported(q40, q40, q40, None, False) == on_tpu
+    assert not fa.supported(q160, q160, q160, None, False)  # d>128 & T%128
