@@ -17,7 +17,14 @@ from PIL import Image
 
 
 def decode_image(path: str | Path) -> np.ndarray:
-    """Decode any PIL-supported image (.tif/.png/...) to uint8 RGB HWC."""
+    """Decode any supported image (.tif/.png/...) to uint8 RGB HWC. PNGs use
+    the native libpng path when POLYP_NATIVE_PREPROCESS=1 and the library is
+    built (sample read-back in the eval harness is thousands of PNGs)."""
+    if str(path).endswith(".png") and \
+            os.environ.get("POLYP_NATIVE_PREPROCESS", "0") == "1":
+        from polyp_tpu.data import native
+        if native.png_available():
+            return native.decode_png(path)
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"))
 

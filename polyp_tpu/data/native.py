@@ -17,6 +17,47 @@ import numpy as np
 
 _LIB = None
 _SEARCHED = False
+_PNG_LIB = None
+_PNG_SEARCHED = False
+
+
+def _find_png_lib():
+    global _PNG_LIB, _PNG_SEARCHED
+    if _PNG_SEARCHED:
+        return _PNG_LIB
+    _PNG_SEARCHED = True
+    path = Path(__file__).resolve().parents[2] / "native" / "libpolyp_png.so"
+    if path.exists():
+        lib = ctypes.CDLL(str(path))
+        lib.polyp_png_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.polyp_png_decode.restype = ctypes.c_int
+        _PNG_LIB = lib
+    return _PNG_LIB
+
+
+def png_available() -> bool:
+    return _find_png_lib() is not None
+
+
+def decode_png(path) -> np.ndarray:
+    """Native libpng decode → uint8 RGB HWC (eval-harness sample read-back)."""
+    lib = _find_png_lib()
+    if lib is None:
+        raise RuntimeError("native png library not built; run `make -C native`")
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    encoded = str(path).encode()
+    rc = lib.polyp_png_decode(encoded, None, 0, ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"png decode failed ({rc}): {path}")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.polyp_png_decode(encoded, out.ctypes.data, out.nbytes,
+                              ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"png decode failed ({rc}): {path}")
+    return out
 
 
 def _find_lib():

@@ -63,7 +63,12 @@ class Loader:
 
     def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
                  *, seed: int = 0, shuffle: bool = True, drop_last: bool = False,
-                 weights: np.ndarray | None = None, device=None):
+                 weights: np.ndarray | None = None, device=None,
+                 process_shard: bool = False):
+        """`process_shard=True` gives each host its own 1/process_count slice
+        of every epoch's index stream (identical seeded order on all hosts,
+        disjoint strided selection) — the DCN-side data sharding for
+        multi-host pods (SURVEY §2 parallelism plan)."""
         self.images = images
         self.labels = labels
         self.batch_size = batch_size
@@ -71,6 +76,7 @@ class Loader:
         self.drop_last = drop_last
         self.weights = weights
         self.device = device
+        self.process_shard = process_shard
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -79,8 +85,11 @@ class Loader:
 
     def _host_batches(self):
         n = len(self.labels)
-        for idx in epoch_batches(n, self.batch_size, self._rng, self.shuffle,
-                                 self.drop_last, self.weights):
+        batches = epoch_batches(n, self.batch_size, self._rng, self.shuffle,
+                                self.drop_last, self.weights)
+        if self.process_shard and jax.process_count() > 1:
+            batches = batches[jax.process_index()::jax.process_count()]
+        for idx in batches:
             valid = np.ones(self.batch_size, dtype=bool)
             if len(idx) < self.batch_size:
                 pad = self.batch_size - len(idx)

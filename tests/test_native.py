@@ -60,3 +60,28 @@ def test_deterministic_across_thread_counts():
     a = native.batch_preprocess(imgs, 32, num_threads=1)
     b = native.batch_preprocess(imgs, 32, num_threads=4)
     np.testing.assert_array_equal(a, b)
+
+
+class TestNativePNG:
+    @pytest.fixture(autouse=True)
+    def _skip_without_png(self):
+        if not native.png_available():
+            pytest.skip("native png lib not built")
+
+    # (16-bit is excluded: PIL's I;16→RGB conversion clips instead of
+    # rescaling, diverging from libpng's strip_16; polyp data is 8-bit)
+    @pytest.mark.parametrize("mode", ["RGB", "L", "P", "RGBA"])
+    def test_decode_matches_pil(self, tmp_path, mode):
+        from PIL import Image
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 255, (13, 17, 3), np.uint8)
+        im = Image.fromarray(base).convert(mode)
+        p = tmp_path / f"{mode.replace(';','_')}.png"
+        im.save(p)
+        ours = native.decode_png(p)
+        ref = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_decode_missing_file_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="png decode failed"):
+            native.decode_png(tmp_path / "nope.png")
