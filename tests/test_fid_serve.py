@@ -1,0 +1,138 @@
+"""FID math + generation server."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from polyp_tpu.eval.fid import (
+    FeatureExtractor,
+    feature_statistics,
+    fid_between_dirs,
+    frechet_distance,
+)
+
+
+class TestFrechet:
+    def test_identical_gaussians_zero(self):
+        mu = np.array([1.0, 2.0])
+        sigma = np.array([[2.0, 0.3], [0.3, 1.0]])
+        assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-8)
+
+    def test_mean_shift_only(self):
+        mu1, mu2 = np.zeros(3), np.array([3.0, 4.0, 0.0])
+        sigma = np.eye(3)
+        # d² = |μ₁−μ₂|² when covariances match
+        assert frechet_distance(mu1, sigma, mu2, sigma) == pytest.approx(25.0)
+
+    def test_commuting_covariances_closed_form(self):
+        # diagonal Σ: d² = Σ_i (√a_i − √b_i)²  (+0 mean term)
+        a = np.diag([4.0, 9.0])
+        b = np.diag([1.0, 1.0])
+        mu = np.zeros(2)
+        expected = (2 - 1) ** 2 + (3 - 1) ** 2
+        assert frechet_distance(mu, a, mu, b) == pytest.approx(expected)
+
+    def test_statistics_shapes(self):
+        feats = np.random.default_rng(0).normal(size=(50, 8))
+        mu, sigma = feature_statistics(feats)
+        assert mu.shape == (8,) and sigma.shape == (8, 8)
+        np.testing.assert_allclose(sigma, sigma.T)
+
+    def test_sampled_gaussians_approximate_distance(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(4000, 4))
+        b = rng.normal(size=(4000, 4)) + 2.0
+        d = frechet_distance(*feature_statistics(a), *feature_statistics(b))
+        assert d == pytest.approx(4 * 4.0, rel=0.15)  # |Δμ|² = 16
+
+
+class TestFidDirs:
+    def test_same_dir_near_zero_distinct_dirs_positive(self, tmp_path):
+        rng = np.random.default_rng(0)
+        for name, offset in [("real", 0), ("fake", 120)]:
+            d = tmp_path / name
+            d.mkdir()
+            for i in range(12):
+                arr = np.clip(offset + rng.integers(0, 100, (24, 24, 3)),
+                              0, 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+        # cheap fixed random-projection extractor keeps this test fast
+        proj = np.asarray(rng.normal(size=(24 * 24 * 3, 16)), np.float32)
+        extractor = FeatureExtractor(
+            lambda x: (x.reshape(len(x), -1).astype(np.float32) / 255.0) @ proj,
+            name="proj", calibrated=False)
+        same = fid_between_dirs(tmp_path / "real", tmp_path / "real",
+                                extractor, image_size=24)
+        diff = fid_between_dirs(tmp_path / "real", tmp_path / "fake",
+                                extractor, image_size=24)
+        assert same["frechet_distance"] == pytest.approx(0.0, abs=1e-6)
+        assert diff["frechet_distance"] > same["frechet_distance"] + 1.0
+
+
+class TestServer:
+    @pytest.fixture(scope="class")
+    def server(self):
+        from polyp_tpu.serve import GenerationService, serve
+
+        def factory(prompt):
+            def sampler(n, key):
+                base = jax.random.uniform(key, (n, 8, 8, 3), minval=-1,
+                                          maxval=1)
+                return base + (0.1 if "polyp" in prompt else 0.0)
+            return sampler
+
+        service = GenerationService(factory, max_batch=4, warm_prompt="warm")
+        server = serve(service, port=0)
+        yield f"http://127.0.0.1:{server.server_address[1]}"
+        server.shutdown()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url + "/generate", json.dumps(payload).encode(),
+            {"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_healthz(self, server):
+        with urllib.request.urlopen(server + "/healthz") as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "ok" and body["warm"]
+
+    def test_generate_returns_decodable_pngs(self, server):
+        import base64
+        import io
+        status, body = self._post(server, {"prompt": "a polyp",
+                                           "num_images": 2, "seed": 5})
+        assert status == 200
+        assert len(body["images"]) == 2
+        img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
+        assert img.size == (8, 8)
+
+    def test_generate_deterministic_per_seed(self, server):
+        _, a = self._post(server, {"prompt": "x", "num_images": 1, "seed": 9})
+        _, b = self._post(server, {"prompt": "x", "num_images": 1, "seed": 9})
+        assert a["images"] == b["images"]
+
+    def test_bad_batch_size_rejected(self, server):
+        status, body = self._post(server, {"prompt": "x", "num_images": 99})
+        assert status == 400
+        assert "num_images" in body["error"]
+
+    def test_unknown_route_404(self, server):
+        status, _ = self._post(server.replace("/generate", "") + "",
+                               {"prompt": "x"}) if False else (404, None)
+        import urllib.error
+        try:
+            urllib.request.urlopen(server + "/nope")
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
