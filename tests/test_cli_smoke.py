@@ -1,0 +1,91 @@
+"""End-to-end CLI smoke tests on a fabricated mini corpus (SURVEY §4 plan
+item e — the `--generate_subsamples`-grade fast path, as pytest)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    for split, csv_name, classes in [
+            ("m_train2/m_train", "train.csv", ["AD"] * 8 + ["HP"] * 3 + ["ASS"] * 3),
+            ("m_valid/m_valid", "valid.csv", ["AD"] * 3 + ["HP"] * 2 + ["ASS"] * 2),
+            ("m_test/m_test", "gt_test.csv", ["AD"] * 3 + ["HP"] * 2 + ["ASS"] * 2)]:
+        img_dir = root / split / "images"
+        img_dir.mkdir(parents=True)
+        rows = []
+        for i, cls in enumerate(classes):
+            base = {"AD": 40, "HP": 130, "ASS": 210}[cls]
+            arr = np.clip(base + rng.integers(0, 40, (40, 40, 3)), 0, 255)
+            Image.fromarray(arr.astype(np.uint8)).save(img_dir / f"x{i}.tif")
+            rows.append(f"x{i},{cls}")
+        (root / split / csv_name).write_text(
+            "image_id,cls\n" + "\n".join(rows) + "\n")
+    return root
+
+
+def test_train_classifier_cli(corpus, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from polyp_tpu.cli.train_classifier import main
+
+    metrics = main([
+        "--data-root", str(corpus), "--cache-dir", str(tmp_path / "cache"),
+        "--tracker-root", str(tmp_path / "runs"),
+        "--image_size", "32", "--batch_size", "4", "--num_epochs", "1",
+        "--hidden_features", "8", "--weighted_sampling",
+        "--output-dir", str(tmp_path / "models"),
+        "--register", str(tmp_path / "reg.csv"),
+    ])
+    assert 0.0 <= metrics["f1_score"] <= 1.0
+    assert (tmp_path / "reg.csv").exists()
+    # loss plot + confusion matrix artifacts written
+    assert list((tmp_path / "results").glob("loss_*.png"))
+
+
+def test_lora_per_class_cli_tiny_train_and_resume(corpus, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from polyp_tpu.cli.lora_per_class import main
+
+    args = ["--data-root", str(corpus), "--cache-dir", str(tmp_path / "cache"),
+            "--tracker-root", str(tmp_path / "runs"),
+            "--folder", str(tmp_path / "lorarun"), "--tiny",
+            "--classes_to_train", "AD", "--num_imgs_to_generate", "2",
+            "--dreambooth", "--num_epochs", "1", "--image_size", "32"]
+    main(args)
+    samples = tmp_path / "lorarun/samples/AD"
+    assert sorted(p.name for p in samples.iterdir()) == ["1.png", "2.png"]
+    assert (tmp_path / "lorarun/lora_AD").exists()
+
+    # resume branch: raise quota → only the top-up runs (no retraining)
+    args[args.index("2")] = "3"
+    main(args)
+    assert sorted(p.name for p in samples.iterdir()) == ["1.png", "2.png",
+                                                         "3.png"]
+
+
+def test_eval_augmentation_cli(corpus, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(1)
+    for cls in ("AD", "HP"):
+        d = tmp_path / "genrun/samples" / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i + 1}.png")
+
+    from polyp_tpu.cli.eval_augmentation import main
+
+    metrics = main([
+        "--data-root", str(corpus), "--cache-dir", str(tmp_path / "cache"),
+        "--tracker-root", str(tmp_path / "runs"),
+        "--path_model", str(tmp_path / "genrun"),
+        "--image_size", "32", "--batch_size", "4", "--num_epochs", "1",
+    ])
+    assert metrics["train_size"] == 14 + 4  # real + synthetic
+    assert (tmp_path / "genrun/confusion_matrix_augmented.png").exists()
