@@ -7,7 +7,6 @@ and the `--generate_subsamples` quick mode (5 images/class, :278-283).
 from __future__ import annotations
 
 import argparse
-from dataclasses import replace
 from pathlib import Path
 
 from polyp_tpu.cli.common import DataLayout, add_common_flags, get_tracker_from, load_sd_stack

@@ -14,7 +14,7 @@ import argparse
 import dataclasses
 from dataclasses import dataclass, field, fields, replace
 from datetime import datetime
-from typing import Any, Sequence
+from typing import Any
 
 
 # Named presets for LoRA target modules. The reference keeps these as

@@ -25,7 +25,6 @@ Samplers:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -9,7 +9,6 @@ generate → augment → retrain → F1 loop.
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass
 from pathlib import Path
 

@@ -27,7 +27,7 @@ requires_grad filtering (train_from_pretrained.py:156-159).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Sequence
 
 import jax

@@ -21,8 +21,7 @@ Design notes (TPU-first, not a torch translation):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -14,8 +14,6 @@ surfaces as the reference's PEFT configs (config_diffusion.py:34-37).
 from __future__ import annotations
 
 import math
-from typing import Callable
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

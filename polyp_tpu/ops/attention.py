@@ -13,7 +13,6 @@ import os
 from typing import Literal
 
 import jax
-import jax.numpy as jnp
 
 _BACKEND = os.environ.get("POLYP_ATTENTION_BACKEND", "auto")
 

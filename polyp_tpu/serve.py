@@ -25,8 +25,6 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable
 
-import jax
-import numpy as np
 from PIL import Image
 
 from polyp_tpu.pipeline import to_uint8
