@@ -93,18 +93,22 @@ def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,
     merged = merge_lora(unet_base, adapter, lcfg)
     text_params = stack.text_params["params"]
     if "special_ids" in bundle:
-        # restore the DreamBooth token: re-register it in the tokenizer and
-        # scatter the trained rows back into a table grown to cover the ids
+        # Restore the DreamBooth token: re-register it and scatter the
+        # trained row at the token's id *in this process's tokenizer* — the
+        # id saved at train time is not stable across processes (tokens are
+        # assigned sequentially as classes train, so class ASS's token got
+        # base+2 during a 3-class run but base+0 in a fresh resume).
         import jax.numpy as jnp
         from polyp_tpu.train.dreambooth import (
             embed_with_special_rows, resize_token_embeddings)
-        stack.tokenizer.add_tokens([SPECIAL_TOKENS[cls]])
-        needed = int(np.max(np.asarray(bundle["special_ids"]))) + 1
-        text_params = resize_token_embeddings(text_params, needed,
+        token = SPECIAL_TOKENS[cls]
+        stack.tokenizer.add_tokens([token])
+        current_id = stack.tokenizer.convert_tokens_to_ids(token)
+        text_params = resize_token_embeddings(text_params, current_id + 1,
                                               jax.random.PRNGKey(0))
         text_params = embed_with_special_rows(
             text_params, jnp.asarray(bundle["special_rows"]),
-            jnp.asarray(bundle["special_ids"], jnp.int32))
+            jnp.asarray([current_id], jnp.int32))
         if "text_lora" in bundle:
             tcfg = LoRAConfig(config.lora_rank, config.lora_alpha, 0.0,
                               ("q_proj", "k_proj", "v_proj", "out_proj"))

@@ -89,3 +89,42 @@ def test_eval_augmentation_cli(corpus, tmp_path, monkeypatch):
     ])
     assert metrics["train_size"] == 14 + 4  # real + synthetic
     assert (tmp_path / "genrun/confusion_matrix_augmented.png").exists()
+
+
+def test_dreambooth_resume_rebinds_token_id(corpus, tmp_path, monkeypatch):
+    """A fresh process assigns the special token a different id than the
+    multi-class training run did; resume must scatter the trained row at the
+    CURRENT tokenizer id, not the saved one."""
+    import jax
+    import jax.numpy as jnp
+
+    from polyp_tpu.cli.common import load_sd_stack
+    from polyp_tpu.cli.sd_common import SDFlags, resume_class
+    from polyp_tpu.configs import DiffusionConfig
+    from polyp_tpu.lora import LoRAConfig, init_lora, save_lora
+
+    monkeypatch.chdir(tmp_path)
+    stack = load_sd_stack(None, tiny=True)
+    cfg = DiffusionConfig(image_size=32, eval_batch_size=4,
+                          num_inference_steps=2)
+    lcfg = LoRAConfig(cfg.lora_rank, cfg.lora_alpha, cfg.lora_dropout,
+                      cfg.modules_lora)
+    folder = tmp_path / "run"
+    (folder).mkdir()
+    base_vocab = stack.text.config.vocab_size
+    trained_row = jnp.full((1, stack.text.config.width), 0.123)
+    bundle = {
+        "unet_lora": init_lora(stack.unet_params, lcfg, jax.random.PRNGKey(0)),
+        "special_rows": trained_row,
+        # simulate: ASS trained 3rd in a multi-class run → saved id base+2
+        "special_ids": jnp.asarray([base_vocab + 2], jnp.int32),
+    }
+    save_lora(folder / "lora_ASS", bundle)
+
+    handled = resume_class(stack, cfg, folder, "ASS", quota=1,
+                           flags=SDFlags(dreambooth=True))
+    assert handled
+    # fresh tokenizer assigned base+0; the trained row must live there
+    current = stack.tokenizer.convert_tokens_to_ids("mjt")
+    assert current == base_vocab
+    assert (folder / "samples/ASS/1.png").exists()
