@@ -47,6 +47,18 @@ def main(argv=None):
     if args.experiment_name:
         tracker.set_experiment(args.experiment_name)
 
+    # params.json dump next to the run artifacts (test_diffusion_model.py:358-360)
+    params_path = Path(args.path_model) / "params.json"
+    params_path.write_text(json.dumps({
+        "image_size": config.image_size, "batch_size": config.batch_size,
+        "num_epochs": config.num_epochs, "patience": config.patience,
+        "learning_rate": config.learning_rate,
+        "weight_decay": config.weight_decay,
+        "hidden_features": config.hidden_features, "dropout": config.dropout,
+        "weighted_sampling": config.weighted_sampling,
+        "ad_vs_rest": args.ad_vs_rest,
+    }, indent=2))
+
     print_banner("Augmented retrain + eval")
     metrics = run_augmentation_eval(config, dirs, tracker, args.run_id,
                                     args.ad_vs_rest, args.cache_dir)

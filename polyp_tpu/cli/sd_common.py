@@ -48,6 +48,19 @@ class SDFlags:
     unfreeze_layers: bool = False
 
 
+def log_sample_images(tracker, sample_dir: Path, cls: str,
+                      num_samples: int = 10) -> None:
+    """Log a deterministic subset of generated samples as run artifacts
+    (train_with_lora_per_class.py:51-56; random.sample there — sorted-head
+    here so reruns log the same files)."""
+    if not Path(sample_dir).exists():
+        return
+    files = sorted(p for p in Path(sample_dir).iterdir()
+                   if p.suffix == ".png")[:num_samples]
+    for f in files:
+        tracker.log_artifact(str(f), f"samples/{cls}")
+
+
 def make_components(stack: SDStack) -> SDComponents:
     return SDComponents(
         unet_params=stack.unet_params,
@@ -270,4 +283,5 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
                              filename=str(folder / f"loss_history_{cls}.png"),
                              title="Training Loss over Epochs")
         tracker.log_artifact(loss_png)
+        log_sample_images(tracker, folder / "samples" / cls, cls)
     print(f"Training for class {cls} finished and images generated\n")
