@@ -91,3 +91,26 @@ def test_supported_now_includes_sd_head_dims():
     on_tpu = jax.default_backend() == "tpu"
     assert fa.supported(q40, q40, q40, None, False) == on_tpu
     assert not fa.supported(q160, q160, q160, None, False)  # d>128 & T%128
+
+
+def test_fused_geglu_matches_reference_interpret():
+    """Fused GEGLU kernel == plain XLA math (interpret mode). On TPU the
+    kernel ties XLA (0.85 vs 0.83 ms at SD level-1 shapes) so it is NOT
+    wired into FeedForward — kept as a validated op for other shapes."""
+    from unittest import mock
+
+    import polyp_tpu.ops.fused_geglu as fg
+
+    key = jax.random.PRNGKey(0)
+    n, t, c, h2 = 1, 256, 64, 256
+    x = jax.random.normal(key, (n, t, c), jnp.float32)
+    w1 = jax.random.normal(jax.random.fold_in(key, 1), (c, h2)) * 0.05
+    b1 = jax.random.normal(jax.random.fold_in(key, 2), (h2,)) * 0.05
+    w2 = jax.random.normal(jax.random.fold_in(key, 3), (h2 // 2, c)) * 0.05
+    b2 = jax.random.normal(jax.random.fold_in(key, 4), (c,)) * 0.05
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        ours = fg.fused_geglu.__wrapped__(x, w1, b1, w2, b2, block_t=128)
+    ref = fg.reference_geglu(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
