@@ -122,16 +122,20 @@ def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,
         text_params = embed_with_special_rows(
             text_params, jnp.asarray(bundle["special_rows"]),
             jnp.asarray([current_id], jnp.int32))
-        if "text_lora" in bundle:
-            tcfg = LoRAConfig(config.lora_rank, config.lora_alpha, 0.0,
-                              ("q_proj", "k_proj", "v_proj", "out_proj"))
-            text_params = merge_lora(text_params, bundle["text_lora"], tcfg)
         import dataclasses
         from polyp_tpu.models.clip_text import CLIPTextModel
         stack.text = CLIPTextModel(
             dataclasses.replace(stack.text.config,
                                 vocab_size=text_params["token_embedding"].shape[0]),
             dtype=stack.text.dtype)
+    if "text_lora" in bundle:
+        # Merge independently of the DreamBooth branch — a text-encoder LoRA
+        # trained without --dreambooth must still be attached on resume
+        # (reference samples with the adapter attached,
+        # train_with_lora_per_class.py:264-290).
+        tcfg = LoRAConfig(config.lora_rank, config.lora_alpha, 0.0,
+                          ("q_proj", "k_proj", "v_proj", "out_proj"))
+        text_params = merge_lora(text_params, bundle["text_lora"], tcfg)
     sampler = make_sampler(stack, merged, text_params, config)
     prompt = resume_prompt(cls, flags.unconditional)
     out_dir = folder / "samples" / cls
@@ -270,6 +274,11 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
         final_text = embed_with_special_rows(
             text_params, state.trainable["special_rows"],
             jnp.asarray(special_ids))
+    if "text_lora" in state.trainable and text_lora_cfg is not None:
+        # Sample with the trained text-encoder adapter attached, like the
+        # reference pipeline reload does (train_with_lora_per_class.py:401-410).
+        final_text = merge_lora(final_text, state.trainable["text_lora"],
+                                text_lora_cfg)
     sampler = make_sampler(stack, merged, final_text, cfg)
     n_generate = quota if generate is None else generate
     if n_generate > 0:

@@ -81,14 +81,24 @@ class Loader:
 
     def __len__(self) -> int:
         n = len(self.labels)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        total = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if self.process_shard and jax.process_count() > 1:
+            # every host runs the same (truncated) number of steps — see
+            # _host_batches; with_schedule step counts must match reality.
+            return total // jax.process_count()
+        return total
 
     def _host_batches(self):
         n = len(self.labels)
         batches = epoch_batches(n, self.batch_size, self._rng, self.shuffle,
                                 self.drop_last, self.weights)
         if self.process_shard and jax.process_count() > 1:
-            batches = batches[jax.process_index()::jax.process_count()]
+            # Truncate to a multiple of process_count BEFORE striding so every
+            # host executes the same number of jitted steps per epoch — a
+            # ragged split would hang collective-bearing multi-host training.
+            pc = jax.process_count()
+            batches = batches[: (len(batches) // pc) * pc]
+            batches = batches[jax.process_index()::pc]
         for idx in batches:
             valid = np.ones(self.batch_size, dtype=bool)
             if len(idx) < self.batch_size:

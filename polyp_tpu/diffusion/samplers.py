@@ -70,7 +70,7 @@ def ddpm_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                 clip_sample: bool = True) -> jax.Array:
     T = schedule.num_train_timesteps
     num_steps = T if num_steps is None else num_steps
-    ts = inference_timesteps(T, num_steps)
+    ts = inference_timesteps(T, num_steps, "leading")  # DDPMScheduler default
     abar = schedule.alphas_cumprod
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32)
@@ -110,9 +110,12 @@ def ddpm_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
 def ddim_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                 shape: tuple[int, ...], key: jax.Array,
                 num_steps: int = 50, eta: float = 0.0,
-                clip_sample: bool = False) -> jax.Array:
+                clip_sample: bool = False,
+                steps_offset: int = 1) -> jax.Array:
     T = schedule.num_train_timesteps
-    ts = inference_timesteps(T, num_steps)
+    # leading spacing with steps_offset=1 — the SD-v1 scheduler-config
+    # convention (DDIMScheduler under StableDiffusionPipeline).
+    ts = inference_timesteps(T, num_steps, "leading", steps_offset)
     abar = schedule.alphas_cumprod
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32)
@@ -159,7 +162,9 @@ def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                     shape: tuple[int, ...], key: jax.Array,
                     num_steps: int = 25) -> jax.Array:
     """DPM-Solver++(2M): second-order multistep, deterministic."""
-    ts = inference_timesteps(schedule.num_train_timesteps, num_steps)
+    # 'linspace' (first eval at t=T-1) — DPMSolverMultistepScheduler default.
+    ts = inference_timesteps(schedule.num_train_timesteps, num_steps,
+                             "linspace")
     alpha, sigma, lam = _lambda_tables(schedule, ts)
     # target points: ts shifted by one; the last target is t=0 (α=1, σ→0⁺)
     alpha_next = jnp.concatenate([alpha[1:], jnp.ones((1,))])
@@ -203,7 +208,11 @@ def unipc_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
     where φ₁ = expm1(−h) and the ρ coefficients satisfy the order-2
     condition ρ·B(h) = φ₂ := φ₁/(−h) − 1.
     """
-    ts = inference_timesteps(schedule.num_train_timesteps, num_steps)
+    # 'linspace' (first eval at t=T-1=999) — UniPCMultistepScheduler default,
+    # the spacing the reference's pretrained path actually runs
+    # (train_with_lora_per_class.py:308).
+    ts = inference_timesteps(schedule.num_train_timesteps, num_steps,
+                             "linspace")
     alpha, sigma, lam = _lambda_tables(schedule, ts)
     alpha_next = jnp.concatenate([alpha[1:], jnp.ones((1,))])
     sigma_next = jnp.concatenate([sigma[1:], jnp.full((1,), 1e-3)])

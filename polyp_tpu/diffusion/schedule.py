@@ -99,9 +99,36 @@ class DiffusionSchedule:
 
 
 def inference_timesteps(num_train_timesteps: int,
-                        num_inference_steps: int) -> jax.Array:
-    """Descending timestep subset for few-step sampling, diffusers-style
-    spacing: T//S strides with trailing offset."""
-    step = num_train_timesteps // num_inference_steps
-    ts = (jnp.arange(num_inference_steps) * step).round().astype(jnp.int32)
-    return ts[::-1]
+                        num_inference_steps: int,
+                        spacing: str = "leading",
+                        steps_offset: int = 0) -> jax.Array:
+    """Descending timestep subset for few-step sampling.
+
+    Spacing conventions match diffusers schedulers exactly:
+
+    * ``"leading"`` — `(arange(S) * (T // S))[::-1] + steps_offset`;
+      DDPMScheduler / DDIMScheduler default. SD-v1 pipeline configs set
+      `steps_offset=1` so the first eval lands at t=961 for S=25.
+    * ``"linspace"`` — `linspace(0, T-1, S+1).round()[::-1][:-1]`; the
+      multistep-solver convention (UniPCMultistepScheduler /
+      DPMSolverMultistepScheduler defaults): first eval at t=T-1=999 and
+      the implicit final integration target is t=0.
+    * ``"trailing"`` — `round(arange(T, 0, -T/S)) - 1`; first eval at T-1
+      with even strides (used by some SDE/turbo configs).
+
+    The round-1 implementation used 'leading' unconditionally, putting the
+    pretrained path's first model eval ~40 timesteps off the reference's
+    UniPC scheduler (ADVICE.md round 1).
+    """
+    import numpy as np  # static (trace-time) computation
+
+    T, S = num_train_timesteps, num_inference_steps
+    if spacing == "leading":
+        ts = (np.arange(S) * (T // S)).round()[::-1] + steps_offset
+    elif spacing == "linspace":
+        ts = np.linspace(0, T - 1, S + 1).round()[::-1][:-1]
+    elif spacing == "trailing":
+        ts = np.round(np.arange(T, 0, -T / S)) - 1
+    else:
+        raise ValueError(f"unknown timestep spacing: {spacing}")
+    return jnp.asarray(ts.astype(np.int32))

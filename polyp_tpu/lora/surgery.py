@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from polyp_tpu.utils.checkpoint import load_pytree, save_pytree
+from polyp_tpu.utils.rng import _stream_hash
 
 
 @dataclass(frozen=True)
@@ -115,7 +116,10 @@ def apply_lora_to_kernels(params: Any, adapter: Any, scale: float,
         for k, v in p_node.items():
             sub_rng = None
             if rng is not None:
-                sub_rng = jax.random.fold_in(rng, hash(k) & 0x7FFFFFFF)
+                # sha256-based stream hash (utils/rng.py) — builtin hash() of
+                # str is salted per process (PYTHONHASHSEED), which would make
+                # dropout masks irreproducible across runs/hosts.
+                sub_rng = jax.random.fold_in(rng, _stream_hash(k))
             out[k] = walk(v, a_node.get(k) if isinstance(a_node, dict) else None,
                           sub_rng)
         return out

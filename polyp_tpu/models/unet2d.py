@@ -120,8 +120,11 @@ class UNet2D(nn.Module):
                     h = _MaybeCrossAttention(self.cross_attention_dim, self.dtype,
                                              name=f"up_{i}_attn_{j}")(h, ctx)
             if i < len(rev_ch) - 1:
+                # Match the next skip's spatial size (diffusers
+                # forward_upsample_size) — required at non-2^k image sizes.
                 h = Upsample2D(c_out, dtype=self.dtype,
-                               name=f"up_{i}_upsample")(h)
+                               name=f"up_{i}_upsample")(
+                                   h, out_size=skips[-1].shape[1:3])
 
         h = GroupNorm(32, 1e-5, act="silu", name="conv_norm_out")(h)
         out = nn.Conv(self.out_channels, (3, 3), padding="SAME",

@@ -237,12 +237,22 @@ class Downsample2D(nn.Module):
 
 
 class Upsample2D(nn.Module):
+    """Nearest-neighbour upsample + 3×3 conv.
+
+    `out_size` pins the target spatial dims; diffusers' Upsample2D accepts an
+    `output_size` for exactly this reason (forward_upsample_size): when the
+    down path hits odd sizes (224px → 28→14→7→4), the up path must resize to
+    the *skip connection's* dims (4→7), not a blind ×2 (4→8).
+    """
+
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 out_size: tuple[int, int] | None = None) -> jax.Array:
         n, h, w, c = x.shape
-        x = jax.image.resize(x, (n, h * 2, w * 2, c), "nearest")
+        th, tw = out_size if out_size is not None else (h * 2, w * 2)
+        x = jax.image.resize(x, (n, th, tw, c), "nearest")
         return nn.Conv(self.out_channels, (3, 3), padding="SAME",
                        dtype=self.dtype, name="conv")(x)

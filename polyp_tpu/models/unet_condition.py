@@ -97,8 +97,12 @@ class UNet2DCondition(nn.Module):
                 if btype == "CrossAttnUpBlock2D":
                     h = transformer(c_out, f"up_{i}_attn_{j}")(h, ctx)
             if i < len(rev_ch) - 1:
+                # Upsample to the next skip's spatial size (diffusers
+                # forward_upsample_size) so odd sizes (e.g. 224px → 7→4 down)
+                # reconcile on the way up.
                 h = Upsample2D(c_out, dtype=self.dtype,
-                               name=f"up_{i}_upsample")(h)
+                               name=f"up_{i}_upsample")(
+                                   h, out_size=skips[-1].shape[1:3])
 
         h = GroupNorm(32, 1e-5, act="silu", name="conv_norm_out")(h)
         return nn.Conv(self.out_channels, (3, 3), padding="SAME",

@@ -104,6 +104,28 @@ class TestUNetCondition:
         b = model.apply(params, x, t, c2)
         assert float(jnp.max(jnp.abs(a - b))) > 1e-5
 
+    def test_odd_latent_sizes(self):
+        """Regression: 224px images give 28×28 latents whose down path hits
+        odd sizes (28→14→7→4); the up path must resize to the skip's dims
+        (diffusers forward_upsample_size), not a blind ×2 (ADVICE r1 high)."""
+        model = sd14_unet(dtype=jnp.float32)
+        for hw in (28, 28 // 2, 30):
+            x = jax.ShapeDtypeStruct((1, hw, hw, 4), jnp.float32)
+            t = jax.ShapeDtypeStruct((1,), jnp.int32)
+            ctx = jax.ShapeDtypeStruct((1, 77, 768), jnp.float32)
+            variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, ctx)
+            out = jax.eval_shape(model.apply, variables, x, t, ctx)
+            assert out.shape == (1, hw, hw, 4)
+
+    def test_scratch_unet_odd_image_size(self):
+        from polyp_tpu.models.unet2d import polyp_scratch_unet
+        model = polyp_scratch_unet(dtype=jnp.float32)
+        x = jax.ShapeDtypeStruct((1, 100, 100, 3), jnp.float32)
+        t = jax.ShapeDtypeStruct((1,), jnp.int32)
+        variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t)
+        out = jax.eval_shape(model.apply, variables, x, t)
+        assert out.shape == (1, 100, 100, 3)
+
     def test_sd14_param_count(self):
         model = sd14_unet(dtype=jnp.float32)
         x = jax.ShapeDtypeStruct((1, 32, 32, 4), jnp.float32)

@@ -1,6 +1,8 @@
 """LoRA pytree surgery: no-op init, merge algebra, gradient flow,
 introspection, save/load, path masks."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -145,3 +147,23 @@ def test_extract_and_overlay(unet_params):
     k = merged["down_0_attn_0"]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"]
     np.testing.assert_array_equal(np.asarray(k), np.asarray(
         params["down_0_attn_0"]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"]))
+
+
+def test_dropout_rng_is_process_stable(unet_params):
+    """Dropout stream derivation must not depend on builtin hash() (salted
+    per process via PYTHONHASHSEED) — ADVICE r1 medium. _stream_hash is
+    sha256-based; pin a value so any future drift is loud."""
+    from polyp_tpu.utils.rng import _stream_hash
+    assert _stream_hash("to_q") == _stream_hash("to_q")
+    # recomputing in a subprocess with a different hash seed must agree
+    import subprocess, sys
+    code = ("from polyp_tpu.utils.rng import _stream_hash;"
+            "print(_stream_hash('to_q'), _stream_hash('down_0_attn_0'))")
+    outs = set()
+    for seed in ("0", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        outs.add(subprocess.check_output(
+            [sys.executable, "-c", code], env=env).decode().strip())
+    assert len(outs) == 1
+    here = f"{_stream_hash('to_q')} {_stream_hash('down_0_attn_0')}"
+    assert outs == {here}
