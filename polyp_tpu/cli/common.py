@@ -42,6 +42,26 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--cache-dir", type=str, default="./data/cache")
     parser.add_argument("--tracker-root", type=str, default="mlruns_local")
     parser.add_argument("--experiment-name", type=str, default=None)
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="device mesh spec, e.g. 'data=8' (pure DP) or "
+                             "'data=4,model=2' (DP × Megatron-TP on the "
+                             "attention/FF kernels); 'data=-1' = all devices. "
+                             "Default: single-device, like the reference "
+                             "(classification.sh:8, gres gpu:1)")
+
+
+def get_mesh_from(args):
+    """Build the mesh named by --mesh (None when unset). Multi-host pods
+    initialize DCN first so jax.devices() spans all processes."""
+    from polyp_tpu.parallel import mesh_from_spec, multihost_init
+    spec = getattr(args, "mesh", None)
+    if spec:
+        multihost_init()
+    mesh = mesh_from_spec(spec)
+    if mesh is not None:
+        print(f"[polyp-tpu] mesh: {dict(mesh.shape)} over "
+              f"{mesh.devices.size} devices")
+    return mesh
 
 
 def get_tracker_from(args):

@@ -13,7 +13,13 @@ import argparse
 import json
 from pathlib import Path
 
-from polyp_tpu.cli.common import DataLayout, add_common_flags, get_tracker_from, print_banner
+from polyp_tpu.cli.common import (
+    DataLayout,
+    add_common_flags,
+    get_mesh_from,
+    get_tracker_from,
+    print_banner,
+)
 from polyp_tpu.configs import ClassificationConfig
 from polyp_tpu.eval.harness import AugmentedDataDirs, run_augmentation_eval
 from polyp_tpu.utils.plotting import plot_confusion_matrix
@@ -61,7 +67,8 @@ def main(argv=None):
 
     print_banner("Augmented retrain + eval")
     metrics = run_augmentation_eval(config, dirs, tracker, args.run_id,
-                                    args.ad_vs_rest, args.cache_dir)
+                                    args.ad_vs_rest, args.cache_dir,
+                                    mesh=get_mesh_from(args))
     out = {k: round(metrics[k], 4)
            for k in ("accuracy", "precision", "recall", "f1_score")}
     print(json.dumps(out))

@@ -12,7 +12,14 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from polyp_tpu.cli.common import DataLayout, add_common_flags, get_tracker_from, load_sd_stack, print_banner
+from polyp_tpu.cli.common import (
+    DataLayout,
+    add_common_flags,
+    get_mesh_from,
+    get_tracker_from,
+    load_sd_stack,
+    print_banner,
+)
 from polyp_tpu.cli.sd_common import make_components, make_sampler
 from polyp_tpu.configs import DiffusionConfig
 from polyp_tpu.data import ArrayDataset, ClassificationTable, Loader
@@ -45,8 +52,10 @@ def main(argv=None):
     data = ArrayDataset.from_table(
         ClassificationTable.from_csv(layout.train_images, layout.train_csv),
         config.image_size, args.cache_dir)
+    mesh = get_mesh_from(args)
     loader = Loader(data.images, data.labels, config.train_batch_size,
-                    seed=config.seed)
+                    seed=config.seed, mesh=mesh,
+                    process_shard=mesh is not None)
     cfg = config.with_schedule(len(loader))
 
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
@@ -54,6 +63,13 @@ def main(argv=None):
     adapter = init_lora(stack.unet_params, lcfg, jax.random.PRNGKey(cfg.seed))
     state = create_sd_train_state(cfg, init_trainable(adapter))
     frozen = make_components(stack)
+    if mesh is not None:
+        from polyp_tpu.parallel import replicate_to, shard_params
+        frozen = frozen.replace(
+            unet_params=shard_params(frozen.unet_params, mesh),
+            vae_params=replicate_to(frozen.vae_params, mesh),
+            text_params=shard_params(frozen.text_params, mesh))
+        state = replicate_to(state, mesh)
     schedule = DiffusionSchedule.create(cfg.num_train_timesteps,
                                         "scaled_linear", 0.00085, 0.012)
 
@@ -73,7 +89,8 @@ def main(argv=None):
         save_lora(out / "lora_weights", state.trainable["unet_lora"])
         merged = merge_lora(stack.unet_params, state.trainable["unet_lora"],
                             lcfg)
-        sampler = make_sampler(stack, merged, stack.text_params["params"], cfg)
+        sampler = make_sampler(stack, merged, stack.text_params["params"],
+                               cfg, mesh)
         epoch_dir = out / "samples" / f"{cfg.num_epochs - 1:04d}"
         generate_to_dir(sampler.for_prompt(prompt), cfg.eval_batch_size,
                         epoch_dir, cfg.eval_batch_size, cfg.seed)

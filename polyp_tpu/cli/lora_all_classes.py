@@ -9,7 +9,13 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-from polyp_tpu.cli.common import DataLayout, add_common_flags, get_tracker_from, load_sd_stack
+from polyp_tpu.cli.common import (
+    DataLayout,
+    add_common_flags,
+    get_mesh_from,
+    get_tracker_from,
+    load_sd_stack,
+)
 from polyp_tpu.cli.sd_common import SDFlags, train_class
 from polyp_tpu.configs import DiffusionConfig
 from polyp_tpu.eval.quota import (
@@ -66,6 +72,7 @@ def main(argv=None):
     print(f"Quotas: {quotas}")
 
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
+    mesh = get_mesh_from(args)
     tracker = get_tracker_from(args)
     tracker.set_experiment(args.experiment_name or config.experiment_name)
 
@@ -75,7 +82,7 @@ def main(argv=None):
             generate = 5 if args.generate_subsamples else None
             train_class(stack, config, layout, folder, cls, class_map,
                         quotas[cls], flags, tracker, args.cache_dir,
-                        generate=generate)
+                        generate=generate, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -14,7 +14,13 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-from polyp_tpu.cli.common import DataLayout, add_common_flags, get_tracker_from, load_sd_stack
+from polyp_tpu.cli.common import (
+    DataLayout,
+    add_common_flags,
+    get_mesh_from,
+    get_tracker_from,
+    load_sd_stack,
+)
 from polyp_tpu.cli.sd_common import SDFlags, resume_class, train_class
 from polyp_tpu.configs import DiffusionConfig
 
@@ -57,16 +63,18 @@ def main(argv=None):
         class_map[cls] = ["HP", "ASS"] if cls == "REST" else [cls]
 
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
+    mesh = get_mesh_from(args)
     tracker = get_tracker_from(args)
     tracker.set_experiment(args.experiment_name or config.experiment_name)
 
     with tracker.start_run(run_id=args.run_id):
         for cls, quota in zip(args.classes_to_train,
                               args.num_imgs_to_generate):
-            if resume_class(stack, config, folder, cls, quota, flags, tracker):
+            if resume_class(stack, config, folder, cls, quota, flags,
+                            tracker, mesh=mesh):
                 continue
             train_class(stack, config, layout, folder, cls, class_map, quota,
-                        flags, tracker, args.cache_dir)
+                        flags, tracker, args.cache_dir, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -75,7 +75,7 @@ def make_components(stack: SDStack) -> SDComponents:
 
 
 def make_sampler(stack: SDStack, unet_params, text_params,
-                 config: DiffusionConfig) -> StableDiffusionSampler:
+                 config: DiffusionConfig, mesh=None) -> StableDiffusionSampler:
     schedule = DiffusionSchedule.create(config.num_train_timesteps,
                                         "scaled_linear", 0.00085, 0.012)
     return StableDiffusionSampler(
@@ -83,11 +83,13 @@ def make_sampler(stack: SDStack, unet_params, text_params,
         stack.vae_params, stack.text, {"params": text_params},
         stack.tokenizer, schedule, image_size=config.image_size,
         num_steps=config.num_inference_steps,
-        guidance_scale=config.guidance_scale, sampler=config.sampler)
+        guidance_scale=config.guidance_scale, sampler=config.sampler,
+        mesh=mesh)
 
 
 def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,
-                 cls: str, quota: int, flags: SDFlags, tracker=None) -> bool:
+                 cls: str, quota: int, flags: SDFlags, tracker=None,
+                 mesh=None) -> bool:
     """The filesystem-state resume branch (train_with_lora_per_class.py
     :252-290): if lora_{cls} exists, reload the adapter and top up missing
     samples. Returns True when handled."""
@@ -136,7 +138,7 @@ def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,
         tcfg = LoRAConfig(config.lora_rank, config.lora_alpha, 0.0,
                           ("q_proj", "k_proj", "v_proj", "out_proj"))
         text_params = merge_lora(text_params, bundle["text_lora"], tcfg)
-    sampler = make_sampler(stack, merged, text_params, config)
+    sampler = make_sampler(stack, merged, text_params, config, mesh)
     prompt = resume_prompt(cls, flags.unconditional)
     out_dir = folder / "samples" / cls
     existing = count_samples(out_dir)
@@ -151,7 +153,7 @@ def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,
 def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
                 folder: Path, cls: str, class_map: dict, quota: int,
                 flags: SDFlags, tracker=None, cache_dir: str | None = None,
-                generate: int | None = None) -> None:
+                generate: int | None = None, mesh=None) -> None:
     """The train branch (train_with_lora_per_class.py:293-466):
     dataset → LoRA(+features) → train → save adapter → generate quota."""
     print_banner(f"Training {cls}")
@@ -162,7 +164,8 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
     data = ArrayDataset.from_table(table, config.image_size, cache_dir)
     print(cls, class_map[cls], len(data))
     loader = Loader(data.images, data.labels, config.train_batch_size,
-                    seed=config.seed)
+                    seed=config.seed, mesh=mesh,
+                    process_shard=mesh is not None)
     cfg = config.with_schedule(max(len(loader), 1))
 
     lcfg = LoRAConfig(cfg.lora_rank, cfg.lora_alpha, cfg.lora_dropout,
@@ -244,6 +247,17 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
     state = create_sd_train_state(cfg, trainable)
     frozen = make_components(stack)
     frozen = frozen.replace(text_params=text_params)
+    if mesh is not None:
+        # DP×TP: Megatron-shard the frozen UNet/CLIP kernels over 'model'
+        # (replicated on a pure-data mesh), replicate the small trainable
+        # bundle + optimizer moments, batch-shard inputs (Loader above);
+        # jit partitions the step and XLA places the collectives on ICI.
+        from polyp_tpu.parallel import replicate_to, shard_params
+        frozen = frozen.replace(
+            unet_params=shard_params(frozen.unet_params, mesh),
+            vae_params=replicate_to(frozen.vae_params, mesh),
+            text_params=shard_params(frozen.text_params, mesh))
+        state = replicate_to(state, mesh)
     schedule = DiffusionSchedule.create(cfg.num_train_timesteps,
                                         "scaled_linear", 0.00085, 0.012)
 
@@ -279,7 +293,7 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
         # reference pipeline reload does (train_with_lora_per_class.py:401-410).
         final_text = merge_lora(final_text, state.trainable["text_lora"],
                                 text_lora_cfg)
-    sampler = make_sampler(stack, merged, final_text, cfg)
+    sampler = make_sampler(stack, merged, final_text, cfg, mesh)
     n_generate = quota if generate is None else generate
     if n_generate > 0:
         generate_to_dir(sampler.for_prompt(prompt), n_generate,

@@ -20,7 +20,13 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from polyp_tpu.cli.common import DataLayout, add_common_flags, get_tracker_from, print_banner
+from polyp_tpu.cli.common import (
+    DataLayout,
+    add_common_flags,
+    get_mesh_from,
+    get_tracker_from,
+    print_banner,
+)
 from polyp_tpu.configs import ClassificationConfig
 from polyp_tpu.data import ArrayDataset, ClassificationTable, Loader, weighted_sample_weights
 from polyp_tpu.eval.metrics import balanced_class_weights
@@ -105,15 +111,23 @@ def main(argv=None):
         class_weights = np.asarray([cw[i] for i in sorted(cw)], np.float32)
         print("class weights:", cw)
 
+    # Data-parallel scale-out: batches land batch-sharded over the mesh's
+    # 'data' axis, params replicated; the jitted step runs SPMD with XLA
+    # inserting the gradient all-reduce on ICI (SURVEY §2 parallelism plan).
+    mesh = get_mesh_from(args)
     train_loader = Loader(train.images, train.labels, config.batch_size,
-                          seed=config.seed, drop_last=True, weights=weights)
+                          seed=config.seed, drop_last=True, weights=weights,
+                          mesh=mesh, process_shard=mesh is not None)
     val_loader = Loader(val.images, val.labels, config.batch_size,
-                        shuffle=False)
+                        shuffle=False, mesh=mesh)
     test_loader = Loader(test.images, test.labels, config.batch_size,
-                         shuffle=False)
+                         shuffle=False, mesh=mesh)
 
     state, _ = create_classifier_state(config, train.num_classes,
                                        jax.random.PRNGKey(config.seed))
+    if mesh is not None:
+        from polyp_tpu.parallel import replicate_to
+        state = replicate_to(state, mesh)
 
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     model_name = f"classifier_{timestamp}"

@@ -16,7 +16,13 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from polyp_tpu.cli.common import DataLayout, add_common_flags, get_tracker_from, print_banner
+from polyp_tpu.cli.common import (
+    DataLayout,
+    add_common_flags,
+    get_mesh_from,
+    get_tracker_from,
+    print_banner,
+)
 from polyp_tpu.configs import DiffusionConfig
 from polyp_tpu.data import ArrayDataset, DiffusionTable, Loader
 from polyp_tpu.diffusion import DiffusionSchedule
@@ -82,6 +88,7 @@ def main(argv=None):
                                         args.one_vs_rest)
     print(f"Images that will be generated:\n {quotas}")
 
+    mesh = get_mesh_from(args)
     tracker = get_tracker_from(args)
     tracker.set_experiment(args.experiment_name or config.experiment_name)
 
@@ -100,7 +107,8 @@ def main(argv=None):
             data = ArrayDataset.from_table(table, config.image_size,
                                            args.cache_dir)
             loader = Loader(data.images, data.labels, config.train_batch_size,
-                            seed=config.seed)
+                            seed=config.seed, mesh=mesh,
+                            process_shard=mesh is not None)
             cfg = config.with_schedule(len(loader))
 
             tracker.log_params({
@@ -133,6 +141,9 @@ def main(argv=None):
             model = polyp_scratch_unet(cross_attention_dim=ctx_dim)
             state = create_ddpm_state(cfg, model, jax.random.PRNGKey(cfg.seed),
                                       context_dim=ctx_dim)
+            if mesh is not None:
+                from polyp_tpu.parallel import replicate_to
+                state = replicate_to(state, mesh)
             schedule = DiffusionSchedule.create(cfg.num_train_timesteps)
 
             def final_epoch_hook(epoch, st, _cls=cls, _cfg=cfg,
@@ -143,7 +154,8 @@ def main(argv=None):
                 sampler = PixelDiffusionSampler(
                     _model, st.params, _sched, _cfg.image_size,
                     sampler="ddpm" if args.sample_steps is None else "ddim",
-                    num_steps=args.sample_steps, text_embeddings=_emb)
+                    num_steps=args.sample_steps, text_embeddings=_emb,
+                    mesh=mesh)
                 out = Path(_cfg.output_dir) / "samples" / _cls
                 generate_to_dir(sampler, quotas[_cls], out,
                                 _cfg.eval_batch_size, _cfg.seed,

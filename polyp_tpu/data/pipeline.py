@@ -64,11 +64,15 @@ class Loader:
     def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
                  *, seed: int = 0, shuffle: bool = True, drop_last: bool = False,
                  weights: np.ndarray | None = None, device=None,
-                 process_shard: bool = False):
+                 process_shard: bool = False, mesh=None):
         """`process_shard=True` gives each host its own 1/process_count slice
         of every epoch's index stream (identical seeded order on all hosts,
         disjoint strided selection) — the DCN-side data sharding for
-        multi-host pods (SURVEY §2 parallelism plan)."""
+        multi-host pods (SURVEY §2 parallelism plan).
+
+        `mesh` (a jax.sharding.Mesh with a 'data' axis) makes every yielded
+        batch land batch-dim-sharded over the mesh's ICI — jitted steps then
+        run data-parallel with XLA inserting the gradient psum."""
         self.images = images
         self.labels = labels
         self.batch_size = batch_size
@@ -76,6 +80,10 @@ class Loader:
         self.drop_last = drop_last
         self.weights = weights
         self.device = device
+        self.mesh = mesh
+        if mesh is not None:
+            from polyp_tpu.parallel.mesh import validate_batch_for_mesh
+            validate_batch_for_mesh(batch_size, mesh)
         self.process_shard = process_shard
         self._rng = np.random.default_rng(seed)
 
@@ -110,7 +118,11 @@ class Loader:
     def __iter__(self) -> Iterator[tuple[jax.Array, jax.Array, jax.Array]]:
         pending = None
         for host_batch in self._host_batches():
-            nxt = jax.device_put(host_batch, self.device)
+            if self.mesh is not None:
+                from polyp_tpu.parallel.mesh import shard_batch
+                nxt = shard_batch(host_batch, self.mesh)
+            else:
+                nxt = jax.device_put(host_batch, self.device)
             if pending is not None:
                 yield pending
             pending = nxt

@@ -70,6 +70,7 @@ def run_augmentation_eval(
     run_id: str | None = None,
     ad_vs_rest: bool = False,
     cache_dir: str | None = None,
+    mesh=None,
 ) -> dict:
     """Train-on-augmented + evaluate-on-real; returns the metric dict and
     logs into the generator's run when (tracker, run_id) are given."""
@@ -83,14 +84,18 @@ def run_augmentation_eval(
         class_weights = np.asarray([cw[i] for i in sorted(cw)], np.float32)
 
     train_loader = Loader(train.images, train.labels, config.batch_size,
-                          seed=config.seed, drop_last=True, weights=weights)
+                          seed=config.seed, drop_last=True, weights=weights,
+                          mesh=mesh, process_shard=mesh is not None)
     val_loader = Loader(val.images, val.labels, config.batch_size,
-                        seed=config.seed, shuffle=False)
+                        seed=config.seed, shuffle=False, mesh=mesh)
     test_loader = Loader(test.images, test.labels, config.batch_size,
-                         seed=config.seed, shuffle=False)
+                         seed=config.seed, shuffle=False, mesh=mesh)
 
     state, _ = create_classifier_state(config, train.num_classes,
                                        jax.random.PRNGKey(config.seed))
+    if mesh is not None:
+        from polyp_tpu.parallel import replicate_to
+        state = replicate_to(state, mesh)
     log = None
     if tracker is not None and run_id is not None:
         def log(k, v, s):

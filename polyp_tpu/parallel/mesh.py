@@ -65,6 +65,54 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def mesh_from_spec(spec: str | None, devices=None) -> Mesh | None:
+    """Parse a CLI mesh spec like ``"data=8"`` or ``"data=4,model=2"`` into a
+    Mesh; `None`/empty → no mesh (single-device execution). ``"data=-1"``
+    fills the axis with all remaining devices — so ``--mesh data=-1`` is
+    "use every chip" regardless of slice size."""
+    if not spec:
+        return None
+    devices = devices if devices is not None else jax.devices()
+    axes: dict[str, int] = {}
+    for part in spec.split(","):
+        name, _, val = part.partition("=")
+        name = name.strip()
+        if not name or not val.strip().lstrip("-").isdigit():
+            raise ValueError(f"bad mesh spec {spec!r}; want e.g. "
+                             "'data=8' or 'data=4,model=2'")
+        axes[name] = int(val)
+    fill = [k for k, v in axes.items() if v == -1]
+    if len(fill) > 1:
+        raise ValueError(f"only one axis may be -1 in {spec!r}")
+    if fill:
+        rest = int(np.prod([v for v in axes.values() if v != -1]))
+        if len(devices) % rest:
+            raise ValueError(f"{len(devices)} devices not divisible by {rest}")
+        axes[fill[0]] = len(devices) // rest
+    n = int(np.prod(list(axes.values())))
+    return make_mesh(axes, devices[:n])
+
+
+def replicate_to(tree: Any, mesh: Mesh) -> Any:
+    """device_put every array leaf fully replicated over the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+        tree)
+
+
+def validate_batch_for_mesh(batch_size: int, mesh: Mesh | None,
+                            what: str = "batch_size") -> None:
+    """Data-parallel batches must split evenly over the 'data' axis."""
+    if mesh is None or "data" not in mesh.axis_names:
+        return
+    d = mesh.shape["data"]
+    if batch_size % d:
+        raise ValueError(
+            f"{what}={batch_size} not divisible by mesh data axis ({d}); "
+            f"pick a multiple of {d}")
+
+
 def multihost_init() -> None:
     """Bring-up for multi-host pods over DCN (no-op on a single process).
     Controlled by the standard JAX env vars / cluster auto-detection."""

@@ -56,3 +56,38 @@ def shard_params(params: Any, mesh: Mesh, model_axis: str = "model") -> Any:
     """device_put params according to the sharding rules."""
     shardings = unet_param_sharding(params, mesh, model_axis)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def _lora_spec_for(path: tuple[str, ...], model_axis: str) -> P:
+    """Adapter factors must shard consistently with their target kernel:
+    column-parallel targets shard B's output features; row-parallel targets
+    shard A's input features; the r-dim stays replicated (r≤16 — far below
+    a useful shard size)."""
+    if len(path) >= 2:
+        module, leaf = path[-2], path[-1]
+        if module in COLUMN_PARALLEL and leaf == "lora_B":
+            return P(None, model_axis)
+        if module in ROW_PARALLEL and leaf == "lora_A":
+            return P(model_axis, None)
+    return P()
+
+
+def lora_param_sharding(adapter: Any, mesh: Mesh,
+                        model_axis: str = "model") -> Any:
+    """NamedSharding tree for a LoRA adapter pytree, matching
+    unet_param_sharding's TP layout so base+(A@B) merges without resharding."""
+    has_model = model_axis in mesh.axis_names and mesh.shape[model_axis] > 1
+
+    def walk(node, path=()):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        spec = _lora_spec_for(path, model_axis) if has_model else P()
+        return NamedSharding(mesh, spec)
+
+    return walk(adapter)
+
+
+def shard_lora(adapter: Any, mesh: Mesh, model_axis: str = "model") -> Any:
+    """device_put a LoRA adapter according to the TP-consistent rules."""
+    shardings = lora_param_sharding(adapter, mesh, model_axis)
+    return jax.tree_util.tree_map(jax.device_put, adapter, shardings)

@@ -35,6 +35,16 @@ from polyp_tpu.utils.rng import batch_seed_key
 BatchSampler = Callable[[int, jax.Array], jax.Array]
 
 
+def _padded_batch(batch_size: int, mesh) -> int:
+    """Round a (possibly ragged quota-tail) batch up to a multiple of the
+    mesh's 'data' axis so the sharded sampler keeps even per-device shards;
+    callers slice the result back to `batch_size`."""
+    if mesh is None or "data" not in mesh.axis_names:
+        return batch_size
+    d = mesh.shape["data"]
+    return -(-batch_size // d) * d
+
+
 def to_uint8(images: jax.Array) -> np.ndarray:
     """[-1,1] float NHWC → uint8 (diffusers numpy_to_pil postprocess parity)."""
     arr = np.asarray(jnp.clip(images / 2 + 0.5, 0.0, 1.0))
@@ -47,7 +57,8 @@ class PixelDiffusionSampler:
     def __init__(self, model, params, schedule: DiffusionSchedule,
                  image_size: int, sampler: str = "ddpm",
                  num_steps: int | None = None,
-                 text_embeddings: jax.Array | None = None):
+                 text_embeddings: jax.Array | None = None,
+                 mesh=None):
         self.model = model
         self.params = params
         self.schedule = schedule
@@ -55,12 +66,23 @@ class PixelDiffusionSampler:
         self.sampler = sampler
         self.num_steps = num_steps or schedule.num_train_timesteps
         self.text_embeddings = text_embeddings
+        self.mesh = mesh
 
         # jitted with params as ARGUMENTS (closing over them would embed the
         # weights as HLO constants and blow up compile time); batch_size is
         # static so quota-tail batches compile once per distinct size.
+        out_shardings = None
+        if mesh is not None:
+            # sampling fan-out over the mesh: images batch-sharded on 'data',
+            # params replicated — each chip denoises its slice of the quota.
+            from polyp_tpu.parallel import data_sharding, replicate_to
+            self.params = replicate_to(self.params, mesh)
+            if text_embeddings is not None:
+                self.text_embeddings = replicate_to(text_embeddings, mesh)
+            out_shardings = data_sharding(mesh, 4)
         self._generate = jax.jit(self._generate_impl,
-                                 static_argnames=("batch_size",))
+                                 static_argnames=("batch_size",),
+                                 out_shardings=out_shardings)
 
     def _generate_impl(self, params, text_embeddings, key, batch_size: int):
         shape = (batch_size, self.image_size, self.image_size,
@@ -80,8 +102,10 @@ class PixelDiffusionSampler:
                       self.num_steps)
 
     def __call__(self, batch_size: int, key: jax.Array) -> jax.Array:
-        return self._generate(self.params, self.text_embeddings, key,
-                              batch_size=batch_size)
+        bs = _padded_batch(batch_size, self.mesh)
+        out = self._generate(self.params, self.text_embeddings, key,
+                             batch_size=bs)
+        return out[:batch_size]
 
 
 class StableDiffusionSampler:
@@ -91,11 +115,20 @@ class StableDiffusionSampler:
     def __init__(self, unet, unet_params, vae, vae_params, text_model,
                  text_params, tokenizer, schedule: DiffusionSchedule,
                  image_size: int = 256, num_steps: int = 25,
-                 guidance_scale: float = 7.5, sampler: str = "unipc"):
+                 guidance_scale: float = 7.5, sampler: str = "unipc",
+                 mesh=None):
         self.unet = unet
         self.unet_params = unet_params
         self.vae = vae
         self.vae_params = vae_params
+        self.mesh = mesh
+        if mesh is not None:
+            # quota generation fans out over the mesh: latents/images sharded
+            # on 'data'; UNet params TP-sharded when a 'model' axis exists
+            # (Megatron rules in parallel/sharding.py), else replicated.
+            from polyp_tpu.parallel import replicate_to, shard_params
+            self.unet_params = shard_params(unet_params, mesh)
+            self.vae_params = replicate_to(vae_params, mesh)
         self.text_model = text_model
         self.text_params = text_params
         self.tokenizer = tokenizer
@@ -130,13 +163,20 @@ class StableDiffusionSampler:
     def for_prompt(self, prompt: str) -> BatchSampler:
         cond = self.encode_prompt(prompt)
         uncond = self.encode_prompt("")
+        out_shardings = None
+        if self.mesh is not None:
+            from polyp_tpu.parallel import data_sharding
+            out_shardings = data_sharding(self.mesh, 4)
         # params as jit args (see PixelDiffusionSampler note)
         generate = jax.jit(self._generate_impl,
-                           static_argnames=("batch_size",))
+                           static_argnames=("batch_size",),
+                           out_shardings=out_shardings)
 
         def sampler_fn(batch_size: int, key: jax.Array) -> jax.Array:
-            return generate(self.unet_params, self.vae_params, cond, uncond,
-                            key, batch_size=batch_size)
+            bs = _padded_batch(batch_size, self.mesh)
+            out = generate(self.unet_params, self.vae_params, cond, uncond,
+                           key, batch_size=bs)
+            return out[:batch_size]
 
         return sampler_fn
 

@@ -21,6 +21,8 @@ from polyp_tpu.utils.rng import key_for
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
 
 def _toy_data(n=32, size=32, seed=0):
     """Two classes separable by mean brightness."""

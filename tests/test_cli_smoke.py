@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):

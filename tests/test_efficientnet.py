@@ -23,6 +23,7 @@ def model_and_vars():
     return model, variables
 
 
+@pytest.mark.slow
 def test_output_shape(model_and_vars):
     model, variables = model_and_vars
     logits = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
@@ -46,6 +47,7 @@ def test_bf16_forward(model_and_vars):
     assert jnp.isfinite(logits).all()
 
 
+@pytest.mark.slow
 def test_dropout_and_droppath_need_rng(model_and_vars):
     model, variables = model_and_vars
     out, _ = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=True,
@@ -93,6 +95,7 @@ def _synth_torch_state_dict(variant="b0"):
     return sd
 
 
+@pytest.mark.slow
 def test_torch_import_maps_all_backbone_weights(model_and_vars):
     _, variables = model_and_vars
     sd = _synth_torch_state_dict()

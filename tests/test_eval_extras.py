@@ -49,6 +49,7 @@ class TestAnalysis:
         assert imbalance_ratio(csvs / "train.csv") == pytest.approx(3.0)
 
 
+@pytest.mark.slow
 class TestHarness:
     def test_closed_loop_smoke(self, synth_polyp_dir, tmp_path):
         """generate(fake) → augment → retrain → F1, with run-linking."""

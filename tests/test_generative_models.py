@@ -27,6 +27,7 @@ def _param_count(tree):
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 
 
+@pytest.mark.slow
 class TestUNet2D:
     @pytest.fixture(scope="class")
     def tiny(self):
@@ -78,6 +79,7 @@ class TestUNet2D:
         assert float(jnp.max(jnp.abs(a - b))) > 1e-5
 
 
+@pytest.mark.slow
 class TestUNetCondition:
     @pytest.fixture(scope="class")
     def tiny(self):
@@ -139,6 +141,7 @@ class TestUNetCondition:
         assert out.shape == (1, 32, 32, 4)
 
 
+@pytest.mark.slow
 class TestVAE:
     @pytest.fixture(scope="class")
     def vae(self):

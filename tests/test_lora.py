@@ -77,6 +77,7 @@ def test_conv1x1_kernels_supported():
     assert merged["proj_in"]["kernel"].shape == (1, 1, 8, 16)
 
 
+@pytest.mark.slow
 def test_gradients_flow_only_through_adapter(unet_params):
     model, params = unet_params
     adapter = init_lora(params, CFG, jax.random.PRNGKey(1))
@@ -94,6 +95,7 @@ def test_gradients_flow_only_through_adapter(unet_params):
     assert max(b_norms) > 0
 
 
+@pytest.mark.slow
 def test_dropout_perturbs_merge(unet_params):
     _, params = unet_params
     cfg = LoRAConfig(rank=4, dropout=0.5)
@@ -149,6 +151,7 @@ def test_extract_and_overlay(unet_params):
         params["down_0_attn_0"]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"]))
 
 
+@pytest.mark.slow
 def test_dropout_rng_is_process_stable(unet_params):
     """Dropout stream derivation must not depend on builtin hash() (salted
     per process via PYTHONHASHSEED) — ADVICE r1 medium. _stream_hash is

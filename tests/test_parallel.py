@@ -19,6 +19,8 @@ from polyp_tpu.parallel import (
 from polyp_tpu.train.scratch_ddpm import create_ddpm_state, ddpm_train_step
 from tests.test_trainers import TINY_UNET, _images
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
 
 def test_eight_fake_devices_present():
     assert len(jax.devices()) == 8

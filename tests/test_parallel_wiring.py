@@ -1,0 +1,216 @@
+"""Parallelism wired into the real entry points (VERDICT r1 item 1):
+
+* DP-N train steps must match single-device numerics (classifier + SD-LoRA),
+* TP train step (Megatron-sharded frozen UNet, LoRA grads) must match,
+* sharded quota sampling must match unsharded and actually span devices,
+* Loader(mesh=...) must yield batch-dim-sharded arrays.
+
+All on the 8 fake CPU devices from conftest.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from polyp_tpu.configs import ClassificationConfig, DiffusionConfig
+from polyp_tpu.data.pipeline import Loader
+from polyp_tpu.diffusion import DiffusionSchedule
+from polyp_tpu.lora import LoRAConfig, init_lora
+from polyp_tpu.parallel import (
+    data_sharding,
+    make_mesh,
+    mesh_from_spec,
+    replicate_to,
+    shard_batch,
+    shard_params,
+)
+
+pytestmark = pytest.mark.slow  # jit-compiles SPMD programs; ~minutes on 1 core
+
+
+def tree_allclose(a, b, rtol=2e-4, atol=2e-5):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32),
+                                   rtol=rtol, atol=atol)
+
+
+def test_mesh_from_spec():
+    assert mesh_from_spec(None) is None
+    assert mesh_from_spec("") is None
+    m = mesh_from_spec("data=8")
+    assert dict(m.shape) == {"data": 8}
+    m = mesh_from_spec("data=4,model=2")
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    m = mesh_from_spec("data=-1")
+    assert m.shape["data"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        mesh_from_spec("bogus")
+
+
+def test_loader_yields_sharded_batches():
+    mesh = make_mesh({"data": 8})
+    images = np.zeros((32, 8, 8, 3), np.uint8)
+    labels = np.arange(32) % 3
+    loader = Loader(images, labels, 16, seed=0, shuffle=False, mesh=mesh)
+    imgs, labs, valid = next(iter(loader))
+    assert len(imgs.sharding.device_set) == 8
+    assert imgs.addressable_shards[0].data.shape[0] == 2  # 16/8
+    assert len(labs.sharding.device_set) == 8
+    with pytest.raises(ValueError):
+        Loader(images, labels, 12, mesh=mesh)  # 12 % 8 != 0
+
+
+class TestClassifierDP:
+    def _setup(self):
+        from polyp_tpu.train.classifier import (create_classifier_state,
+                                                train_step)
+        cfg = ClassificationConfig(image_size=32, batch_size=16,
+                                   mixed_precision="f32")
+        state, _ = create_classifier_state(cfg, 3, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 255, (2, 16, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, 3, (2, 16)).astype(np.int32)
+        return train_step, state, images, labels
+
+    def test_dp8_matches_single_device(self):
+        """Two DP-8 train steps == two single-device steps (same batches,
+        same keys), per VERDICT r1 'done' criterion (a)."""
+        train_step, state0, images, labels = self._setup()
+        mesh = make_mesh({"data": 8})
+
+        losses = {}
+        params = {}
+        for mode in ("single", "dp8"):
+            state = state0 if mode == "single" else replicate_to(state0, mesh)
+            ls = []
+            for i in range(2):
+                b = (images[i], labels[i])
+                if mode == "dp8":
+                    b = shard_batch(b, mesh)
+                state, loss, _ = train_step(state, b[0], b[1],
+                                            jax.random.PRNGKey(i), None, "f32")
+                ls.append(float(loss))
+            losses[mode] = ls
+            params[mode] = jax.device_get(state.params)
+
+        # step 1 is pre-update → tight; step 2 sees one Adam+BatchNorm update
+        # whose reduction-order noise amplifies (measured ~2e-4 on CPU)
+        np.testing.assert_allclose(losses["single"][0], losses["dp8"][0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(losses["single"], losses["dp8"],
+                                   rtol=1e-3, atol=1e-5)
+        # Adam's step-1 update is sign-like (m̂/√v̂ ≈ ±lr) so near-zero-grad
+        # params can flip on reduction-order noise; bound by a few lr instead
+        # of relative error (a wrong grad aggregation would blow way past it).
+        tree_allclose(params["single"], params["dp8"], rtol=5e-3, atol=5e-3)
+
+
+class TestSDLoRAParallel:
+    def _setup(self, dtype=jnp.float32):
+        from polyp_tpu.cli.common import load_sd_stack
+        from polyp_tpu.cli.sd_common import make_components
+        from polyp_tpu.train.sd_finetune import (create_sd_train_state,
+                                                 init_trainable,
+                                                 sd_lora_train_step)
+        stack = load_sd_stack(None, dtype=dtype, tiny=True)
+        lcfg = LoRAConfig(rank=2, alpha=2, dropout=0.0)
+        adapter = init_lora(stack.unet_params, lcfg, jax.random.PRNGKey(1))
+        cfg = DiffusionConfig(image_size=16, train_batch_size=8,
+                              num_train_timesteps=50).with_schedule(2)
+        sched = DiffusionSchedule.create(50)
+        frozen = make_components(stack)
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 255, (2, 8, 16, 16, 3), dtype=np.uint8)
+        ids = jnp.zeros((1, 16), jnp.int32)
+        return (sd_lora_train_step, create_sd_train_state, init_trainable,
+                stack, lcfg, adapter, cfg, sched, frozen, images, ids)
+
+    def _run_steps(self, setup, mesh):
+        (step_fn, mk_state, mk_trainable, stack, lcfg, adapter, cfg, sched,
+         frozen, images, ids) = setup
+        # fresh copy per run — sd_lora_train_step donates the state, which
+        # would delete a shared adapter's buffers after the first run
+        adapter = jax.tree_util.tree_map(jnp.array, adapter)
+        state = mk_state(cfg, mk_trainable(adapter))
+        if mesh is not None:
+            frozen = frozen.replace(
+                unet_params=shard_params(frozen.unet_params, mesh),
+                vae_params=replicate_to(frozen.vae_params, mesh),
+                text_params=shard_params(frozen.text_params, mesh))
+            state = replicate_to(state, mesh)
+        losses = []
+        for i in range(2):
+            imgs = jnp.asarray(images[i])
+            if mesh is not None:
+                imgs = shard_batch(imgs, mesh)
+            state, loss = step_fn(state, frozen, sched, imgs, ids,
+                                  jnp.zeros((1,), jnp.int32),
+                                  jax.random.PRNGKey(10 + i), lcfg)
+            losses.append(float(loss))
+        return losses, jax.device_get(state.trainable["unet_lora"])
+
+    def test_dp8_train_matches_single(self):
+        setup = self._setup()
+        base_losses, base_adapter = self._run_steps(setup, None)
+        mesh = make_mesh({"data": 8})
+        dp_losses, dp_adapter = self._run_steps(setup, mesh)
+        np.testing.assert_allclose(base_losses, dp_losses, rtol=2e-5, atol=1e-6)
+        tree_allclose(base_adapter, dp_adapter, rtol=5e-4, atol=1e-6)
+
+    def test_tp_train_step_with_lora_grads_matches(self):
+        """TP *train step* equivalence — the VERDICT r1 'done' criterion (b):
+        Megatron-sharded frozen attention/FF kernels, gradient flow through
+        the LoRA merge, optimizer update — all under a data=2,model=4 mesh."""
+        setup = self._setup()
+        base_losses, base_adapter = self._run_steps(setup, None)
+        mesh = make_mesh({"data": 2, "model": 4})
+        tp_losses, tp_adapter = self._run_steps(setup, mesh)
+        np.testing.assert_allclose(base_losses, tp_losses, rtol=2e-5, atol=1e-6)
+        tree_allclose(base_adapter, tp_adapter, rtol=5e-4, atol=1e-6)
+
+
+class TestShardedSampling:
+    def test_sd_sampler_sharded_matches_unsharded(self):
+        from polyp_tpu.cli.common import load_sd_stack
+        from polyp_tpu.cli.sd_common import make_sampler
+        stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+        cfg = DiffusionConfig(image_size=64, num_inference_steps=3,
+                              eval_batch_size=8)
+        plain = make_sampler(stack, stack.unet_params,
+                             stack.text_params["params"], cfg)
+        mesh = make_mesh({"data": 8})
+        sharded = make_sampler(stack, stack.unet_params,
+                               stack.text_params["params"], cfg, mesh)
+        key = jax.random.PRNGKey(3)
+        a = plain.for_prompt("polyp")(8, key)
+        b = sharded.for_prompt("polyp")(8, key)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+        # ragged quota tail: padded to the mesh internally, sliced back
+        c = sharded.for_prompt("polyp")(5, key)
+        assert c.shape[0] == 5
+
+    def test_pixel_sampler_spans_devices(self):
+        from polyp_tpu.models.unet2d import UNet2D
+        from polyp_tpu.pipeline import PixelDiffusionSampler
+        model = UNet2D(block_out_channels=(8, 16),
+                       down_block_types=("DownBlock2D", "DownBlock2D"),
+                       up_block_types=("UpBlock2D", "UpBlock2D"),
+                       layers_per_block=1)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                            jnp.asarray([0]))["params"]
+        sched = DiffusionSchedule.create(20)
+        mesh = make_mesh({"data": 8})
+        sampler = PixelDiffusionSampler(model, params, sched, 8,
+                                        sampler="ddim", num_steps=4, mesh=mesh)
+        out = sampler._generate(sampler.params, None, jax.random.PRNGKey(0),
+                                batch_size=8)
+        assert len(out.sharding.device_set) == 8  # actually fanned out
+        plain = PixelDiffusionSampler(model, params, sched, 8,
+                                      sampler="ddim", num_steps=4)
+        np.testing.assert_allclose(
+            np.asarray(plain(8, jax.random.PRNGKey(0))),
+            np.asarray(sampler(8, jax.random.PRNGKey(0))),
+            rtol=2e-4, atol=2e-4)

@@ -15,6 +15,9 @@ from polyp_tpu.train.sd_finetune import (
     sd_lora_train_step,
 )
 from tests.test_trainers import CFG, SCHED, TINY_UNET, _images, sd_stack  # noqa: F401
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy
 
 
 class TestEpochCheckpointer:

@@ -40,6 +40,8 @@ from polyp_tpu.train.sd_finetune import (
 from polyp_tpu.models.clip_tokenizer import HashTokenizer
 from polyp_tpu.utils.rng import key_for
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
 
 TINY_UNET = UNet2D(block_out_channels=(16, 32),
                    down_block_types=("DownBlock2D", "AttnDownBlock2D"),
