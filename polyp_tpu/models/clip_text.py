@@ -72,8 +72,8 @@ class CLIPLayer(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         x = x + CLIPAttention(self.heads, self.dtype, name="self_attn")(
-            nn.LayerNorm(dtype=self.dtype, name="layer_norm1")(x))
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x))
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
         h = nn.Dense(c * self.mlp_ratio, dtype=self.dtype, name="fc1")(h)
         h = quick_gelu(h)
         h = nn.Dense(c, dtype=self.dtype, name="fc2")(h)
@@ -96,4 +96,7 @@ class CLIPTextModel(nn.Module):
         for i in range(cfg.layers):
             x = CLIPLayer(cfg.heads, cfg.mlp_ratio, self.dtype,
                           name=f"layer_{i}")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        # eps 1e-5 = transformers layer_norm_eps (flax default 1e-6 costs
+        # ~1e-2 output error at CLIP's small embedding variances)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name="final_layer_norm")(x)

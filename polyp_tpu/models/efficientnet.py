@@ -209,7 +209,18 @@ def import_torch_state_dict(variables: dict, state_dict: dict[str, Any],
 
     params = jax.tree_util.tree_map(lambda x: x, variables["params"])
     stats = jax.tree_util.tree_map(lambda x: x, variables["batch_stats"])
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    used: set[str] = set()
+
+    class _Reader:
+        """Tracks consumed keys so silently-unused checkpoint tensors are
+        reported (the state-dict analogue of apply_rules' unmatched check)."""
+
+        def __getitem__(self, k: str):
+            used.add(k)
+            return np.asarray(state_dict[k])
+
+    sd = _Reader()
 
     def put_convbn(dst_params: dict, dst_stats: dict, prefix: str,
                    depthwise: bool = False) -> None:
@@ -247,4 +258,11 @@ def import_torch_state_dict(variables: dict, state_dict: dict[str, Any],
                        f"{tprefix}.{j}")
 
     put_convbn(bb_p["head"], bb_s["head"], "features.8")
+    leftover = {k for k in state_dict
+                if k not in used
+                and not k.startswith("classifier.")   # head is replaced
+                and not k.endswith("num_batches_tracked")}
+    if leftover:
+        raise KeyError("unconsumed torchvision keys (first 10): "
+                       + ", ".join(sorted(leftover)[:10]))
     return {"params": params, "batch_stats": stats}

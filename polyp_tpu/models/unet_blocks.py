@@ -187,12 +187,15 @@ class BasicTransformerBlock(nn.Module):
                  context: jax.Array | None = None) -> jax.Array:
         attn = lambda name: Attention(self.num_heads, self.head_dim,
                                       dtype=self.dtype, name=name)
-        x = x + attn("attn1")(nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
+        # LayerNorm eps 1e-5 matches diffusers BasicTransformerBlock norm_eps
+        x = x + attn("attn1")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
         if self.cross_attention_dim is not None:
             x = x + attn("attn2")(
-                nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context)
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x),
+                context)
         x = x + FeedForward(dtype=self.dtype, name="ff")(
-            nn.LayerNorm(dtype=self.dtype, name="norm3")(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x))
         return x
 
 
