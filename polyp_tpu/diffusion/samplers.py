@@ -161,14 +161,18 @@ def _lambda_tables(schedule: DiffusionSchedule, ts: jax.Array):
 def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                     shape: tuple[int, ...], key: jax.Array,
                     num_steps: int = 25) -> jax.Array:
-    """DPM-Solver++(2M): second-order multistep, deterministic."""
+    """DPM-Solver++(2M) (Lu et al. 2022, Algorithm 2; data prediction,
+    midpoint solver) with DPMSolverMultistepScheduler's conventions:
+    order ramps 1→2, `lower_order_final` drops the last step to order 1
+    whose target is σ=0 exactly — so the final output is the last x̂₀
+    (with α_t=1, σ_t=0: x = −α_t·φ₁·x̂₀ = x̂₀)."""
     # 'linspace' (first eval at t=T-1) — DPMSolverMultistepScheduler default.
     ts = inference_timesteps(schedule.num_train_timesteps, num_steps,
                              "linspace")
     alpha, sigma, lam = _lambda_tables(schedule, ts)
-    # target points: ts shifted by one; the last target is t=0 (α=1, σ→0⁺)
+    # target tables; the final σ=0 target is special-cased in the step
     alpha_next = jnp.concatenate([alpha[1:], jnp.ones((1,))])
-    sigma_next = jnp.concatenate([sigma[1:], jnp.full((1,), 1e-3)])
+    sigma_next = jnp.concatenate([sigma[1:], jnp.ones((1,))])  # dummy tail
     lam_next = jnp.log(alpha_next) - jnp.log(sigma_next)
 
     x = jax.random.normal(key, shape, jnp.float32)
@@ -181,12 +185,15 @@ def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
 
         h = lam_next[i] - lam[i]
         h_last = lam[i] - lam_prev
-        r = h_last / jnp.maximum(h, 1e-8)
+        r = h_last / jnp.where(jnp.abs(h) > 1e-8, h, 1.0)
         denoised = jnp.where(
-            i == 0, x0,
+            i == 0, x0,  # first step: order 1 (no history yet)
             (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev)
-        x = (sigma_next[i] / sigma[i]) * x - alpha_next[i] * jnp.expm1(-h) * denoised
-        return (x, x0, lam[i]), None
+        x_next = (sigma_next[i] / sigma[i]) * x \
+            - alpha_next[i] * jnp.expm1(-h) * denoised
+        # lower_order_final: last step integrates to σ_t=0 at order 1 → x̂₀
+        x_next = jnp.where(i == num_steps - 1, x0, x_next)
+        return (x_next, x0, lam[i]), None
 
     (x, _, _), _ = jax.lax.scan(step, (x, jnp.zeros(shape, jnp.float32),
                                        lam[0]), jnp.arange(num_steps))
@@ -196,71 +203,85 @@ def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
 def unipc_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                  shape: tuple[int, ...], key: jax.Array,
                  num_steps: int = 25, use_corrector: bool = True) -> jax.Array:
-    """UniPC order-2, B(h)=expm1(h) ("bh2"), data prediction, with the UniC
-    corrector applied to each step using the next model evaluation —
-    the default configuration of the pretrained path's scheduler.
+    """UniPC (Zhao et al. 2023) order 2, B(h)=expm1(h) ("bh2"), data
+    prediction — matching UniPCMultistepScheduler's exact step structure,
+    the reference's scheduler (train_with_lora_per_class.py:308):
 
-    Derivation sketch (UniPC paper eq. 14-16, data-prediction form): with
-    λ the log-SNR, h = λ_t − λ_s, history node ratio r = (λ_{s₁} − λ_s)/h,
-    D₁ = (x̂₀(s₁) − x̂₀(s))/r:
-      predictor: x_t = (σ_t/σ_s)x_s − α_t·φ₁·x̂₀(s) − α_t·B(h)·ρ_p·D₁
-      corrector adds the new node at r=1 with D = x̂₀(t) − x̂₀(s).
-    where φ₁ = expm1(−h) and the ρ coefficients satisfy the order-2
-    condition ρ·B(h) = φ₂ := φ₁/(−h) − 1.
+    * step 0: UniP order 1 (no history);
+    * step i≥1: UniC corrects the previous transition using the fresh model
+      eval — order 1 at i=1 (ρ=1/2 on the new node), order 2 afterwards
+      (2×2 Vandermonde solve over the history node r₁=(λ_{s₁}−λ_s)/h and
+      the new node r=1) — then UniP order 2 predicts the next sample;
+    * `lower_order_final`: the last predictor is order 1 with target σ=0
+      exactly, so the final output is the last (uncorrected-eval) x̂₀.
+
+    Coefficients (paper eq. 14-16 / diffusers uni_pc): with hh=−h,
+    φ₁=expm1(hh), B(h)=φ₁ (bh2), φ₂=φ₁/hh−1, φ₃'=φ₂/hh−1/2:
+      UniP-2: x_t = (σ_t/σ_s)x_s − α_t(φ₁·m₀ + B·ρ_p·D₁),  ρ_p=φ₂/B,
+              D₁=(m₁−m₀)/r₁
+      UniC-2: solve [[1,1],[r₁,1]]·ρ = [φ₂/B, 2φ₃'/B] over nodes (r₁, 1).
     """
-    # 'linspace' (first eval at t=T-1=999) — UniPCMultistepScheduler default,
-    # the spacing the reference's pretrained path actually runs
-    # (train_with_lora_per_class.py:308).
+    # 'linspace' (first eval at t=T-1=999) — UniPCMultistepScheduler default.
     ts = inference_timesteps(schedule.num_train_timesteps, num_steps,
                              "linspace")
     alpha, sigma, lam = _lambda_tables(schedule, ts)
     alpha_next = jnp.concatenate([alpha[1:], jnp.ones((1,))])
-    sigma_next = jnp.concatenate([sigma[1:], jnp.full((1,), 1e-3)])
+    sigma_next = jnp.concatenate([sigma[1:], jnp.ones((1,))])  # dummy tail
     lam_next = jnp.log(alpha_next) - jnp.log(sigma_next)
 
     x = jax.random.normal(key, shape, jnp.float32)
 
-    def coeffs(h):
+    def phis(h):
         hh = -h
         phi1 = jnp.expm1(hh)
+        b_h = phi1  # bh2: B(h) = expm1(hh)
         phi2 = phi1 / hh - 1.0
-        b_h = jnp.expm1(hh)  # bh2
-        rho = phi2 / b_h
-        return phi1, b_h, rho
+        phi3 = phi2 / hh - 0.5
+        return phi1, b_h, phi2, phi3
 
-    def predictor(x_s, x0_s, x0_hist, r, i):
-        h = lam_next[i] - lam[i]
-        phi1, b_h, rho = coeffs(h)
-        d1 = (x0_hist - x0_s) / jnp.where(jnp.abs(r) > 1e-8, r, 1.0)
-        second = jnp.where(i == 0, jnp.zeros_like(x_s), b_h * rho * d1)
-        return (sigma_next[i] / sigma[i]) * x_s \
-            - alpha_next[i] * (phi1 * x0_s + second)
-
-    def corrector(x_s, x0_s, x0_t, x0_hist, r, i):
-        # step s=ts[i-1] → t=ts[i]; node at r=1 is the fresh eval x̂₀(t).
-        h = lam[i] - lam[i - 1]
-        phi1, b_h, rho = coeffs(h)
-        # order-2 corrector with the single node r_c = 1:
-        d_new = x0_t - x0_s
-        return (sigma[i] / sigma[i - 1]) * x_s \
-            - alpha[i] * (phi1 * x0_s + b_h * rho * d_new)
+    def safe_div(a, b):
+        return a / jnp.where(jnp.abs(b) > 1e-10, b, 1.0)
 
     def step(carry, i):
-        x, x_last, x0_last, lam_last = carry
+        x, x_corr_prev, m_prev, m_prev2 = carry
         t = ts[i]
         out = model_fn(x, _bcast_t(t, shape[0]))
-        x0, _ = schedule.to_x0_eps(out, x, t)
+        m = schedule.to_x0_eps(out, x, t)[0]  # x̂₀ at ts[i], uncorrected x
 
-        if use_corrector:
-            corrected = corrector(x_last, x0_last, x0,
-                                  x0_last, 1.0, jnp.maximum(i, 1))
-            x = jnp.where(i > 0, corrected, x)
+        # ---- UniC: correct the i-1 → i transition ----------------------
+        h_c = lam[i] - lam[i - 1]
+        phi1c, bhc, phi2c, phi3c = phis(h_c)
+        d1_new = m - m_prev
+        # order 1 (used at i == 1): single new node, ρ = 1/2
+        x_c1 = (sigma[i] / sigma[i - 1]) * x_corr_prev \
+            - alpha[i] * (phi1c * m_prev + bhc * 0.5 * d1_new)
+        # order 2: history node r1 + new node 1
+        r1c = safe_div(lam[i - 2] - lam[i - 1], h_c)
+        d1_hist = safe_div(m_prev2 - m_prev, r1c)
+        b1 = phi2c / bhc
+        b2 = 2.0 * phi3c / bhc
+        rho1 = safe_div(b1 - b2, 1.0 - r1c)
+        rho2 = b1 - rho1
+        x_c2 = (sigma[i] / sigma[i - 1]) * x_corr_prev \
+            - alpha[i] * (phi1c * m_prev
+                          + bhc * (rho1 * d1_hist + rho2 * d1_new))
+        x_corr = jnp.where(i == 0, x, jnp.where(i == 1, x_c1, x_c2)) \
+            if use_corrector else x
 
-        r = (lam_last - lam[i]) / jnp.maximum(lam_next[i] - lam[i], 1e-8)
-        x_next = predictor(x, x0, x0_last, r, i)
-        return (x_next, x, x0, lam[i]), None
+        # ---- UniP: predict the i → i+1 sample --------------------------
+        h_p = lam_next[i] - lam[i]
+        phi1p, bhp, phi2p, _ = phis(h_p)
+        x_p1 = (sigma_next[i] / sigma[i]) * x_corr - alpha_next[i] * phi1p * m
+        r1p = safe_div(lam[i - 1] - lam[i], h_p)
+        d1p = safe_div(m_prev - m, r1p)
+        rho_p = phi2p / bhp
+        x_p2 = x_p1 - alpha_next[i] * bhp * rho_p * d1p
+        x_next = jnp.where(i == 0, x_p1, x_p2)
+        # lower_order_final: last step is order 1 with σ_t = 0 → x̂₀ exactly
+        x_next = jnp.where(i == num_steps - 1, m, x_next)
+        return (x_next, x_corr, m, m_prev), None
 
-    init = (x, x, jnp.zeros(shape, jnp.float32), lam[0])
+    init = (x, x, jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
     (x, _, _, _), _ = jax.lax.scan(step, init, jnp.arange(num_steps))
     return x
 

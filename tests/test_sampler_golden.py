@@ -1,0 +1,278 @@
+"""Sampler golden tests against the published algorithms (VERDICT r1 item 3).
+
+Round 1's sampler tests were analytic-oracle only (convergence to a point
+mass); nothing cross-checked the *coefficients* against the schedulers the
+reference actually runs (UniPCMultistepScheduler,
+train_with_lora_per_class.py:308; DDPMScheduler, train_from_scratch.py:270).
+
+Each oracle here is a plain sequential NumPy transcription of the published
+algorithm — Ho et al. 2020 eq. 6/7 (DDPM), Song et al. 2021 eq. 12 (DDIM),
+Lu et al. 2022 Algorithm 2 (DPM-Solver++(2M)), Zhao et al. 2023 (UniPC-2,
+B(h)=e^h−1) with diffusers' multistep conventions (linspace spacing, order
+ramp, lower_order_final) — structured completely differently from the
+lax.scan implementations (explicit loops, per-step scalars, no tables).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polyp_tpu.diffusion import DiffusionSchedule
+from polyp_tpu.diffusion.samplers import (
+    ddim_sample,
+    ddpm_sample,
+    dpmpp_2m_sample,
+    unipc_sample,
+)
+from polyp_tpu.diffusion.schedule import inference_timesteps
+
+T = 120
+SHAPE = (2, 4, 4, 3)
+
+
+def make_schedule():
+    return DiffusionSchedule.create(T, "scaled_linear", 0.00085, 0.012)
+
+
+def eps_model(x, t_batch):
+    """Deterministic, nonlinear, time-dependent ε̂ — a stand-in denoiser."""
+    t = jnp.asarray(t_batch, jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+    return jnp.tanh(x) * 0.3 + 0.05 * jnp.sin(t / 7.0) + 0.1 * x
+
+
+def np_eps(x, t):
+    return np.tanh(x) * 0.3 + 0.05 * np.sin(t / 7.0) + 0.1 * x
+
+
+def np_x0(x, t, abar):
+    """ε-prediction → x̂₀ (the shared data-prediction conversion)."""
+    a = np.sqrt(abar[t])
+    s = np.sqrt(1.0 - abar[t])
+    return (x - s * np_eps(x, float(t))) / a
+
+
+class TestSpacingGoldenValues:
+    """Exact diffusers spacing values, computed by hand from the published
+    formulas."""
+
+    def test_leading(self):
+        ts = np.asarray(inference_timesteps(1000, 25, "leading"))
+        assert ts[0] == 960 and ts[-1] == 0 and np.all(np.diff(ts) == -40)
+
+    def test_leading_sd_offset(self):
+        ts = np.asarray(inference_timesteps(1000, 25, "leading", 1))
+        assert ts[0] == 961 and ts[-1] == 1
+
+    def test_linspace(self):
+        # np.linspace(0, 999, 26).round()[::-1][:-1]
+        expected = np.linspace(0, 999, 26).round()[::-1][:-1].astype(int)
+        ts = np.asarray(inference_timesteps(1000, 25, "linspace"))
+        np.testing.assert_array_equal(ts, expected)
+        assert ts[0] == 999
+
+    def test_trailing(self):
+        ts = np.asarray(inference_timesteps(1000, 4, "trailing"))
+        np.testing.assert_array_equal(ts, [999, 749, 499, 249])
+
+
+class TestDDIMGolden:
+    def test_matches_song_eq12_closed_form(self):
+        """With a LINEAR model ε̂=c·x, Song et al. eq. 12 (η=0) collapses to
+        per-step scalar factors — an independent closed form."""
+        sched = make_schedule()
+        abar = np.asarray(sched.alphas_cumprod)
+        c = 0.15
+        steps = 6
+        ts = np.asarray(inference_timesteps(T, steps, "leading", 1))
+
+        key = jax.random.PRNGKey(5)
+        _, init_key = jax.random.split(key)  # sampler's init-noise stream
+        x_T = np.asarray(jax.random.normal(init_key, SHAPE, jnp.float32))
+
+        factor = 1.0
+        for i, t in enumerate(ts):
+            a_t = abar[t]
+            a_p = abar[ts[i + 1]] if i + 1 < steps else 1.0
+            # eq.12, η=0: x_prev = √ā_p·x̂₀ + √(1−ā_p)·ε̂
+            # with ε̂=c·x: x̂₀ = x(1−√(1−ā_t)c)/√ā_t
+            f = (np.sqrt(a_p) * (1 - np.sqrt(1 - a_t) * c) / np.sqrt(a_t)
+                 + np.sqrt(1 - a_p) * c)
+            factor *= f
+        expected = x_T * factor
+
+        got = ddim_sample(lambda x, t: c * x, sched, SHAPE, key,
+                          num_steps=steps)
+        np.testing.assert_allclose(np.asarray(got), expected,
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestDDPMGolden:
+    def test_matches_ho_posterior_oracle(self):
+        """Sequential NumPy oracle of Ho et al. eq. 6/7 (fixed-small
+        variance, x̂₀ clipping as DDPMScheduler does), drawing noise from the
+        sampler's documented PRNG streams."""
+        sched = make_schedule()
+        abar = np.asarray(sched.alphas_cumprod)
+        steps = 8
+        ts = np.asarray(inference_timesteps(T, steps, "leading"))
+
+        key0 = jax.random.PRNGKey(11)
+        key, init_key = jax.random.split(key0)
+        x = np.asarray(jax.random.normal(init_key, SHAPE, jnp.float32))
+
+        for i, t in enumerate(ts):
+            t = int(t)
+            a_t = abar[t]
+            a_p = abar[int(ts[i + 1])] if i + 1 < steps else 1.0
+            alpha_t = a_t / a_p
+            beta_t = 1.0 - alpha_t
+            x0 = np_x0(x, t, abar)
+            x0 = np.clip(x0, -1.0, 1.0)
+            mean = (np.sqrt(a_p) * beta_t / (1 - a_t)) * x0 \
+                + (np.sqrt(alpha_t) * (1 - a_p) / (1 - a_t)) * x
+            var = beta_t * (1 - a_p) / (1 - a_t)
+            key, nkey = jax.random.split(key)
+            noise = np.asarray(jax.random.normal(nkey, SHAPE, jnp.float32))
+            x = mean + (np.sqrt(max(var, 1e-20)) if t > 0 else 0.0) * noise
+
+        got = ddpm_sample(eps_model, sched, SHAPE, key0, num_steps=steps)
+        np.testing.assert_allclose(np.asarray(got), x, rtol=2e-4, atol=2e-5)
+
+
+def dpmpp_2m_oracle(abar, ts, x):
+    """Lu et al. 2022 Algorithm 2 (data prediction, midpoint), diffusers
+    conventions: order ramp 1→2, lower_order_final → final x = last x̂₀."""
+    S = len(ts)
+    lam = lambda t: 0.5 * (np.log(abar[t]) - np.log(1 - abar[t]))
+    alpha = lambda t: np.sqrt(abar[t])
+    sigma = lambda t: np.sqrt(1 - abar[t])
+    m_prev = None
+    for i in range(S):
+        t = int(ts[i])
+        m = np_x0(x, t, abar)
+        if i == S - 1:
+            x = m  # σ_t = 0 target at order 1
+            break
+        t_next = int(ts[i + 1])
+        h = lam(t_next) - lam(t)
+        if i == 0:
+            D = m
+        else:
+            h_last = lam(t) - lam(int(ts[i - 1]))
+            r = h_last / h
+            D = (1 + 1 / (2 * r)) * m - (1 / (2 * r)) * m_prev
+        x = (sigma(t_next) / sigma(t)) * x - alpha(t_next) * np.expm1(-h) * D
+        m_prev = m
+    return x
+
+
+def unipc2_oracle(abar, ts, x):
+    """Zhao et al. 2023 UniPC, p=2, B(h)=expm1(h) ('bh2'), data prediction,
+    with diffusers' UniPCMultistepScheduler structure: UniC at every step
+    i≥1 (order = previous step's predictor order), UniP order ramp 1→2,
+    lower_order_final."""
+    S = len(ts)
+    lam = lambda t: 0.5 * (np.log(abar[t]) - np.log(1 - abar[t]))
+    alpha = lambda t: np.sqrt(abar[t])
+    sigma = lambda t: np.sqrt(1 - abar[t])
+
+    def phis(h):
+        hh = -h
+        phi1 = np.expm1(hh)
+        b_h = phi1  # bh2
+        phi2 = phi1 / hh - 1.0
+        phi3 = phi2 / hh - 0.5
+        return phi1, b_h, phi2, phi3
+
+    x_corr_prev = None   # corrected sample at ts[i-1]
+    ms = []              # model outputs (x̂₀) at each step's UNcorrected x
+    for i in range(S):
+        t = int(ts[i])
+        m = np_x0(x, t, abar)
+        # UniC — correct the i-1 → i transition with the fresh eval
+        if i >= 1:
+            s0 = int(ts[i - 1])
+            h = lam(t) - lam(s0)
+            phi1, b_h, phi2, phi3 = phis(h)
+            m0 = ms[-1]
+            d1_new = m - m0
+            if i == 1:  # previous predictor was order 1
+                x = (sigma(t) / sigma(s0)) * x_corr_prev \
+                    - alpha(t) * (phi1 * m0 + b_h * 0.5 * d1_new)
+            else:
+                s1 = int(ts[i - 2])
+                r1 = (lam(s1) - lam(s0)) / h
+                d1_hist = (ms[-2] - m0) / r1
+                b1 = phi2 / b_h
+                b2 = 2 * phi3 / b_h
+                # solve [[1,1],[r1,1]]ρ = [b1,b2]
+                rho1 = (b1 - b2) / (1 - r1)
+                rho2 = b1 - rho1
+                x = (sigma(t) / sigma(s0)) * x_corr_prev \
+                    - alpha(t) * (phi1 * m0
+                                  + b_h * (rho1 * d1_hist + rho2 * d1_new))
+        ms.append(m)
+        x_corr_prev = x
+        # UniP — predict ts[i] → ts[i+1]
+        if i == S - 1:
+            x = m  # order 1 into σ_t = 0
+            break
+        t_next = int(ts[i + 1])
+        h = lam(t_next) - lam(t)
+        phi1, b_h, phi2, _ = phis(h)
+        x_p = (sigma(t_next) / sigma(t)) * x - alpha(t_next) * phi1 * m
+        if i >= 1:
+            s0 = int(ts[i - 1])
+            r1 = (lam(s0) - lam(t)) / h
+            d1 = (ms[-2] - m) / r1
+            x_p = x_p - alpha(t_next) * b_h * (phi2 / b_h) * d1
+        x = x_p
+    return x
+
+
+class TestMultistepGolden:
+    def _xt(self, key):
+        return np.asarray(jax.random.normal(key, SHAPE, jnp.float32))
+
+    def test_dpmpp_2m_matches_lu_alg2_oracle(self):
+        sched = make_schedule()
+        abar = np.asarray(sched.alphas_cumprod)
+        for steps in (3, 7, 12):
+            ts = np.asarray(inference_timesteps(T, steps, "linspace"))
+            key = jax.random.PRNGKey(21)
+            expected = dpmpp_2m_oracle(abar, ts, self._xt(key))
+            got = dpmpp_2m_sample(eps_model, sched, SHAPE, key,
+                                  num_steps=steps)
+            np.testing.assert_allclose(np.asarray(got), expected,
+                                       rtol=3e-4, atol=3e-5,
+                                       err_msg=f"steps={steps}")
+
+    def test_unipc_matches_zhao_oracle(self):
+        sched = make_schedule()
+        abar = np.asarray(sched.alphas_cumprod)
+        for steps in (3, 7, 12):
+            ts = np.asarray(inference_timesteps(T, steps, "linspace"))
+            key = jax.random.PRNGKey(22)
+            expected = unipc2_oracle(abar, ts, self._xt(key))
+            got = unipc_sample(eps_model, sched, SHAPE, key, num_steps=steps)
+            np.testing.assert_allclose(np.asarray(got), expected,
+                                       rtol=3e-4, atol=3e-5,
+                                       err_msg=f"steps={steps}")
+
+    def test_unipc_predictor_only_is_finite_and_distinct(self):
+        """use_corrector=False (UniP-only) stays finite, deterministic, and
+        measurably different from the corrected path. (NOTE: 'corrector
+        closer to a many-step run' is NOT a valid oracle here —
+        lower_order_final makes the output x̂₀ at the smallest timestep,
+        which itself shifts with the step count.)"""
+        sched = make_schedule()
+        key = jax.random.PRNGKey(3)
+        w = np.asarray(unipc_sample(eps_model, sched, SHAPE, key,
+                                    num_steps=5, use_corrector=True))
+        wo = np.asarray(unipc_sample(eps_model, sched, SHAPE, key,
+                                     num_steps=5, use_corrector=False))
+        wo2 = np.asarray(unipc_sample(eps_model, sched, SHAPE, key,
+                                      num_steps=5, use_corrector=False))
+        assert np.isfinite(w).all() and np.isfinite(wo).all()
+        np.testing.assert_array_equal(wo, wo2)
+        assert np.abs(w - wo).max() > 1e-6
