@@ -15,17 +15,31 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import html
 import json
 import re
 from pathlib import Path
 
 import numpy as np
 
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False else
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE)
+try:  # the `regex` module supports \p{L}/\p{N} — CLIP's real pattern
+    import regex as _re
+
+    _PAT = _re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+        r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _re.IGNORECASE)
+except ImportError:  # ASCII-only approximation (unicode words degrade)
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+        re.IGNORECASE)
+
+# The official CLIP vocabulary contract (known constants of the published
+# assets; used to validate user-supplied vocab/merges files).
+CLIP_VOCAB_SIZE = 49408
+CLIP_BOS_ID = 49406
+CLIP_EOS_ID = 49407
 
 
 @functools.lru_cache()
@@ -47,16 +61,53 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def _basic_clean(text: str) -> str:
+    """CLIP's basic_clean minus ftfy (absent here): double HTML unescape.
+    ftfy.fix_text only changes mojibake'd input — a no-op for well-formed
+    prompts like the reference's."""
+    return html.unescape(html.unescape(text)).strip()
+
+
+def validate_clip_assets(vocab: dict[str, int],
+                         bpe_ranks: dict[tuple, int]) -> list[str]:
+    """Structural checks that supplied files ARE the official CLIP assets:
+    vocab size 49,408, <|startoftext|>=49406, <|endoftext|>=49407, 48,894
+    merges, byte-level base symbols present. Returns problems (empty=ok)."""
+    problems = []
+    if len(vocab) != CLIP_VOCAB_SIZE:
+        problems.append(f"vocab size {len(vocab)} != {CLIP_VOCAB_SIZE}")
+    if vocab.get("<|startoftext|>") != CLIP_BOS_ID:
+        problems.append("<|startoftext|> id != 49406")
+    if vocab.get("<|endoftext|>") != CLIP_EOS_ID:
+        problems.append("<|endoftext|> id != 49407")
+    if len(bpe_ranks) != CLIP_VOCAB_SIZE - 256 * 2 - 2:
+        problems.append(f"{len(bpe_ranks)} merges != 48894")
+    for sym in bytes_to_unicode().values():
+        if sym not in vocab or sym + "</w>" not in vocab:
+            problems.append(f"byte symbol {sym!r} missing")
+            break
+    return problems
+
+
 class CLIPBPETokenizer:
     """Byte-level BPE tokenizer (needs vocab.json + merges.txt on disk)."""
 
     def __init__(self, vocab_file: str | Path, merges_file: str | Path,
-                 max_length: int = 77):
-        self.encoder: dict[str, int] = json.loads(Path(vocab_file).read_text())
-        merges = Path(merges_file).read_text().splitlines()
+                 max_length: int = 77, strict: bool = False):
+        """`strict=True` requires the files to be the official CLIP assets
+        (validate_clip_assets) — use for the pretrained SD path, where a
+        wrong vocabulary silently destroys prompt conditioning."""
+        self.encoder: dict[str, int] = json.loads(
+            Path(vocab_file).read_text(encoding="utf-8"))
+        merges = Path(merges_file).read_text(encoding="utf-8").splitlines()
         if merges and merges[0].startswith("#"):
             merges = merges[1:]
         self.bpe_ranks = {tuple(m.split()): i for i, m in enumerate(merges) if m}
+        if strict:
+            problems = validate_clip_assets(self.encoder, self.bpe_ranks)
+            if problems:
+                raise ValueError("not the official CLIP assets: "
+                                 + "; ".join(problems))
         self.byte_encoder = bytes_to_unicode()
         self.max_length = max_length
         self.bos = "<|startoftext|>"
@@ -116,7 +167,7 @@ class CLIPBPETokenizer:
         return out
 
     def tokenize(self, text: str) -> list[str]:
-        text = _whitespace_clean(text).lower()
+        text = _whitespace_clean(_basic_clean(text)).lower()
         tokens: list[str] = []
         for piece in _PAT.findall(text):
             if piece in self.added_tokens:
@@ -204,5 +255,10 @@ def load_tokenizer(vocab_dir: str | Path | None = None,
         vocab = Path(vocab_dir) / "vocab.json"
         merges = Path(vocab_dir) / "merges.txt"
         if vocab.exists() and merges.exists():
-            return CLIPBPETokenizer(vocab, merges, max_length)
+            tok = CLIPBPETokenizer(vocab, merges, max_length)
+            problems = validate_clip_assets(tok.encoder, tok.bpe_ranks)
+            if problems:
+                print("[polyp-tpu] WARNING: tokenizer assets are not the "
+                      "official CLIP files: " + "; ".join(problems[:3]))
+            return tok
     return HashTokenizer(max_length=max_length)
