@@ -163,17 +163,45 @@ class MlflowTracker(Tracker):
     @contextmanager
     def start_run(self, run_name: str | None = None,
                   run_id: str | None = None) -> Iterator[Run]:
-        with self._mlflow.start_run(run_name=run_name, run_id=run_id) as r:
+        # JsonlTracker supports a run stack; mlflow needs nested=True when a
+        # run is already active or it raises.
+        nested = self._mlflow.active_run() is not None
+        with self._mlflow.start_run(run_name=run_name, run_id=run_id,
+                                    nested=nested) as r:
             yield Run(self, r.info.run_id)
 
     def log_params(self, params: dict[str, Any]) -> None:
-        self._mlflow.log_params(params)
+        self._mlflow.log_params({k: _jsonable(v) for k, v in params.items()})
 
     def log_metric(self, key: str, value: float, step: int | None = None) -> None:
-        self._mlflow.log_metric(key, value, step=step or 0)
+        self._mlflow.log_metric(key, float(value), step=step or 0)
 
     def log_artifact(self, local_path: str, artifact_path: str | None = None) -> None:
-        self._mlflow.log_artifact(local_path, artifact_path=artifact_path)
+        # The framework logs whole DIRECTORIES (LoRA bundles, model dirs,
+        # train_with_lora_per_class.py:192-193); mlflow.log_artifact only
+        # takes files — route dirs through log_artifacts under `{path}/{name}`
+        # so the layout matches JsonlTracker's copytree(dest/src.name).
+        src = Path(local_path)
+        if src.is_dir():
+            dest = f"{artifact_path}/{src.name}" if artifact_path else src.name
+            self._mlflow.log_artifacts(str(src), artifact_path=dest)
+        else:
+            self._mlflow.log_artifact(str(src), artifact_path=artifact_path)
+
+    def read_metrics(self, run_id: str) -> list[dict[str, Any]]:
+        """JsonlTracker.read_metrics parity, via MlflowClient history."""
+        client = self._mlflow.tracking.MlflowClient()
+        run = client.get_run(run_id)
+        out = []
+        for key in run.data.metrics:
+            for m in client.get_metric_history(run_id, key):
+                out.append({"key": key, "value": m.value, "step": m.step,
+                            "time": m.timestamp / 1000.0})
+        return out
+
+    def read_params(self, run_id: str) -> dict[str, Any]:
+        client = self._mlflow.tracking.MlflowClient()
+        return dict(client.get_run(run_id).data.params)
 
 
 def _jsonable(v: Any) -> Any:
