@@ -193,16 +193,26 @@ def generate_to_dir(sampler_fn: BatchSampler, num_images: int,
     out_dir.mkdir(parents=True, exist_ok=True)
     total = 0
     batch_id = start_batch
-    while total < num_images:
-        bs = min(eval_batch_size, num_images - total)
-        images = sampler_fn(bs, batch_seed_key(seed, batch_id))
-        for i, img in enumerate(to_uint8(images)):
-            Image.fromarray(img).save(
-                out_dir / f"{start_index + total + i + 1}.png")
-        total += bs
-        batch_id += 1
-        if progress:
-            progress(total, num_images)
+    # One-batch software pipeline: dispatch batch i+1 (async under JAX)
+    # BEFORE host-fetching/encoding batch i, so PNG encode+write overlaps the
+    # next batch's on-device denoising instead of serializing with it.
+    pending: tuple | None = None
+    while total < num_images or pending is not None:
+        nxt = None
+        if total < num_images:
+            bs = min(eval_batch_size, num_images - total)
+            images = sampler_fn(bs, batch_seed_key(seed, batch_id))
+            nxt = (images, bs, total)
+            total += bs
+            batch_id += 1
+        if pending is not None:
+            images, bs_p, offset = pending
+            for i, img in enumerate(to_uint8(images)):  # blocks on device
+                Image.fromarray(img).save(
+                    out_dir / f"{start_index + offset + i + 1}.png")
+            if progress:
+                progress(offset + bs_p, num_images)
+        pending = nxt
     return total
 
 
