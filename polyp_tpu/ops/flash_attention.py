@@ -102,12 +102,49 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = False) -> jax.Array:
-    """q,k,v: [N, T, H, D] (BTHD). Returns [N, Tq, H, D].
+    """q,k,v: [N, T, H, D] (BTHD). Returns [N, Tq, H, D]. Differentiable:
+    the backward pass recomputes through XLA's exact attention (see
+    `_flash_vjp`), so LoRA/fine-tune training can run with the flash
+    forward at 1024+ tokens (256px latents) without a hand-written
+    backward kernel.
 
     Head dims that aren't lane-aligned (e.g. SD's 40/80) are zero-padded to
     the next multiple of 64: padding adds exact zeros to QKᵀ and the padded
     V output columns are sliced away; the softmax scale uses the true D.
     """
+    return _flash_vjp(q, k, v, is_causal, block_q, block_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_vjp(q, k, v, is_causal, block_q, block_k, interpret):
+    return _flash_impl(q, k, v, is_causal=is_causal, block_q=block_q,
+                       block_k=block_k, interpret=interpret)
+
+
+def _flash_vjp_fwd(q, k, v, is_causal, block_q, block_k, interpret):
+    out = _flash_impl(q, k, v, is_causal=is_causal, block_q=block_q,
+                      block_k=block_k, interpret=interpret)
+    return out, (q, k, v)
+
+
+def _flash_vjp_bwd(is_causal, block_q, block_k, interpret, res, g):
+    # O(T²)-memory recompute through XLA's fused attention — the same
+    # function (softmax(QKᵀ/√d)V), so gradients are exact up to fp rounding.
+    # Fine at training scales (≤4k tokens); a flash backward kernel is the
+    # upgrade path if training ever runs at 16k+ tokens.
+    q, k, v = res
+    _, pullback = jax.vjp(
+        lambda q_, k_, v_: jax.nn.dot_product_attention(
+            q_, k_, v_, is_causal=is_causal), q, k, v)
+    return pullback(g)
+
+
+_flash_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def _flash_impl(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                is_causal: bool, block_q: int, block_k: int,
+                interpret: bool) -> jax.Array:
     n, tq, h, d = q.shape
     tk = k.shape[1]
     block_q = min(block_q, tq)
@@ -119,10 +156,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         pad = [(0, 0), (0, 0), (0, 0), (0, d_pad - d)]
         # pre-scale q so the recursive call's 1/√d_pad nets to 1/√d
         q_scaled = q * jnp.asarray(math.sqrt(d_pad) / math.sqrt(d), q.dtype)
-        out = flash_attention(jnp.pad(q_scaled, pad), jnp.pad(k, pad),
-                              jnp.pad(v, pad), is_causal=is_causal,
-                              block_q=block_q, block_k=block_k,
-                              interpret=interpret)
+        out = _flash_impl(jnp.pad(q_scaled, pad), jnp.pad(k, pad),
+                          jnp.pad(v, pad), is_causal=is_causal,
+                          block_q=block_q, block_k=block_k,
+                          interpret=interpret)
         return out[..., :d]
 
     # fold batch and heads into the grid's leading dim; tokens-major layout

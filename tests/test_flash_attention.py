@@ -93,3 +93,28 @@ def test_fused_geglu_matches_reference_interpret():
     ref = fg.reference_geglu(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_is_differentiable():
+    """LoRA/fine-tune train steps at 256px (1024-token latents) hit the
+    flash forward on TPU; grads must flow. The custom_vjp backward
+    recomputes through XLA's exact attention, so grads match XLA's to fp
+    rounding (interpret mode exercises the same custom_vjp wiring)."""
+    key = jax.random.PRNGKey(7)
+    shape = (1, 256, 2, 40)
+    q = jax.random.normal(key, shape, jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), shape)
+    v = jax.random.normal(jax.random.fold_in(key, 2), shape)
+    g = jax.random.normal(jax.random.fold_in(key, 3), shape)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_interpret_flash(q, k, v) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v) * g)
+
+    grads = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for ours, want in zip(grads, ref):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
