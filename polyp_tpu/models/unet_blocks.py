@@ -103,9 +103,37 @@ class ResnetBlock2D(nn.Module):
         return h + residual
 
 
+class _ProjParams(nn.Module):
+    """Declares a Dense projection's parameters (same tree/init/shapes as
+    nn.Dense: `<name>/kernel` [+ `<name>/bias`]) without applying it, so
+    Attention can hand raw kernels to the fused Pallas MHA kernel while
+    keeping checkpoint/importer/LoRA-surgery compatibility."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array | None]:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head attention with SD naming (to_q/to_k/to_v/to_out). Works as
-    self-attention (context=None) or cross-attention over encoder states."""
+    self-attention (context=None) or cross-attention over encoder states.
+
+    Two execution paths over the SAME parameters:
+    * fused Pallas MHA kernel (ops/fused_mha.py) — projections + blockwise
+      softmax + output projection in one kernel, avoiding the BTHD layout
+      copies XLA inserts around a standalone attention custom-call;
+    * unfused — Dense-equivalent matmuls + ops.dot_product_attention
+      (which itself dispatches XLA vs the standalone flash kernel).
+    """
 
     num_heads: int
     head_dim: int
@@ -117,17 +145,33 @@ class Attention(nn.Module):
     def __call__(self, x: jax.Array, context: jax.Array | None = None) -> jax.Array:
         inner = self.num_heads * self.head_dim
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(ctx)
-        n, tq, _ = q.shape
-        tk = k.shape[1]
-        q = q.reshape(n, tq, self.num_heads, self.head_dim)
-        k = k.reshape(n, tk, self.num_heads, self.head_dim)
-        v = v.reshape(n, tk, self.num_heads, self.head_dim)
-        out = dot_product_attention(q, k, v).reshape(n, tq, inner)
         out_features = self.out_features or x.shape[-1]
-        return nn.Dense(out_features, dtype=self.dtype, name="to_out")(out)
+        wq, bq = _ProjParams(x.shape[-1], inner, self.qkv_bias, name="to_q")()
+        wk, bk = _ProjParams(ctx.shape[-1], inner, self.qkv_bias, name="to_k")()
+        wv, bv = _ProjParams(ctx.shape[-1], inner, self.qkv_bias, name="to_v")()
+        wo, bo = _ProjParams(inner, out_features, True, name="to_out")()
+
+        x = x.astype(self.dtype)
+        ctx = ctx.astype(self.dtype)
+        from polyp_tpu.ops import attention as _policy
+        if _policy.use_fused_mha(x, ctx, self.num_heads, self.head_dim,
+                                 self.qkv_bias, is_self=context is None):
+            from polyp_tpu.ops.fused_mha import fused_mha
+            out = fused_mha(x, ctx, wq, wk, wv, wo,
+                            num_heads=self.num_heads, head_dim=self.head_dim)
+            return out + bo.astype(self.dtype)
+
+        def proj(h, w, b):
+            y = h @ w.astype(self.dtype)
+            return y + b.astype(self.dtype) if b is not None else y
+
+        n, tq = x.shape[0], x.shape[1]
+        tk = ctx.shape[1]
+        q = proj(x, wq, bq).reshape(n, tq, self.num_heads, self.head_dim)
+        k = proj(ctx, wk, bk).reshape(n, tk, self.num_heads, self.head_dim)
+        v = proj(ctx, wv, bv).reshape(n, tk, self.num_heads, self.head_dim)
+        out = dot_product_attention(q, k, v).reshape(n, tq, inner)
+        return proj(out, wo, bo)
 
 
 class SpatialSelfAttention(nn.Module):

@@ -22,6 +22,30 @@ def set_attention_backend(name: Literal["auto", "xla", "pallas"]) -> None:
     _BACKEND = name
 
 
+def use_fused_mha(x: jax.Array, ctx: jax.Array, num_heads: int,
+                  head_dim: int, qkv_bias: bool,
+                  is_self: bool = True) -> bool:
+    """Policy: route a whole attention block (projections included) through
+    the fused Pallas MHA kernel (ops/fused_mha.py). OFF by default
+    (opt in with POLYP_FUSED_MHA=1): at SD level-0 shapes the kernel only
+    matches the tuned flash path (1428 vs 1443 µs block microbench) and is
+    slightly slower end-to-end (6.54 vs 6.64 samples/s) — the BTHD copies
+    it was built to eliminate were already removed by the round-2 flash
+    block tuning, and its per-head (C×64) projections run at lower MXU
+    occupancy than XLA's single (C×C) dots. Kept as a validated op for
+    shapes where standalone-flash pre/post copies reappear."""
+    if _BACKEND == "xla" or os.environ.get("POLYP_FUSED_MHA", "0") != "1":
+        return False
+    if not is_self:
+        # cross-attention (77-token KV) executes MORE in-kernel FLOPs than
+        # the XLA path saves in copies (per-head K/V/out projections run at
+        # half MXU occupancy) — measured slower; XLA keeps it.
+        return False
+    from polyp_tpu.ops import fused_mha as fm
+    return (fm.supported(x, ctx, num_heads, head_dim, qkv_bias)
+            and fm.profitable(x, ctx))
+
+
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           mask: jax.Array | None = None,
                           is_causal: bool = False) -> jax.Array:
