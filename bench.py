@@ -116,7 +116,13 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
 
 
 def bench_classifier_train(batch_size: int = 16, image_size: int = 224,
-                           repeats: int = 5) -> dict:
+                           repeats: int = 3, chain: int = 10) -> dict:
+    """Steady-state training throughput: `chain` back-to-back optimizer
+    steps dispatched without host syncs (as the real epoch loop runs them),
+    timed with ONE data-dependent scalar fetch at the end — per-step
+    block_until_ready both under-measures (axon early return, see run_sync)
+    and over-measures (adds ~29 ms tunnel round-trip per step that the
+    training loop never pays)."""
     from polyp_tpu.configs import ClassificationConfig
     from polyp_tpu.train.classifier import create_classifier_state, train_step
     from polyp_tpu.utils.rng import key_for
@@ -125,17 +131,98 @@ def bench_classifier_train(batch_size: int = 16, image_size: int = 224,
     state, _ = create_classifier_state(cfg, 3, jax.random.PRNGKey(0))
     images = jnp.zeros((batch_size, image_size, image_size, 3), jnp.uint8)
     labels = jnp.zeros((batch_size,), jnp.int32)
-    state, loss, _ = train_step(state, images, labels, key_for(0, "w", 0),
-                                None, "bf16")
-    jax.block_until_ready(state.params)
+
+    def run_chain(state, tag: str) -> float:
+        losses = []
+        for i in range(chain):
+            state, loss, _ = train_step(state, images, labels,
+                                        key_for(0, tag, i), None, "bf16")
+            losses.append(loss)
+        # scalar fetch depending on every step (losses + final params)
+        total = float(jax.device_get(sum(losses)))
+        assert np.isfinite(total), "non-finite training loss"
+        return total
+
+    run_chain(state, "warmup")  # compile + warmup
     times = []
-    for i in range(repeats):
+    for r in range(repeats):
         t0 = time.perf_counter()
-        state, loss, _ = train_step(state, images, labels,
-                                    key_for(0, "b", i), None, "bf16")
-        jax.block_until_ready(state.params)
-        times.append(time.perf_counter() - t0)
+        run_chain(state, f"rep{r}")
+        times.append((time.perf_counter() - t0) / chain)
     return {"train_images_per_sec": batch_size / min(times)}
+
+
+def bench_sd_lora_train(batch_size: int = 8, image_size: int = 256,
+                        repeats: int = 3, chain: int = 5) -> dict:
+    """Flagship training-path throughput: the full SD-v1-4 LoRA fine-tune
+    step (frozen VAE encode + frozen CLIP text encode + 860M-UNet fwd/bwd
+    with rank-8 adapters on q/k/v/out + optimizer update) at the
+    reference's pretrained-path config (256px, batch 8 —
+    reference train_with_lora_per_class.py:295-332). Chained-step timing
+    with one data-dependent scalar fetch, as bench_classifier_train."""
+    from polyp_tpu.configs import DiffusionConfig
+    from polyp_tpu.diffusion import DiffusionSchedule
+    from polyp_tpu.lora import LoRAConfig, init_lora
+    from polyp_tpu.models import (SD14_TEXT_CONFIG, AutoencoderKL,
+                                  CLIPTextModel, sd14_unet)
+    from polyp_tpu.train.sd_finetune import (SDComponents,
+                                             create_sd_train_state,
+                                             init_trainable,
+                                             sd_lora_train_step)
+
+    dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(0)
+    unet = sd14_unet(dtype=dtype)
+    vae = AutoencoderKL(dtype=dtype)
+    text = CLIPTextModel(SD14_TEXT_CONFIG, dtype=dtype)
+    latent = image_size // 8
+    unet_params = jax.jit(unet.init)(
+        {"params": k}, jnp.zeros((1, latent, latent, 4), dtype),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 768), dtype))["params"]
+    vae_params = jax.jit(vae.init)(
+        {"params": k}, jnp.zeros((1, image_size, image_size, 3), dtype), k)
+    text_params = jax.jit(text.init)(
+        {"params": k}, jnp.zeros((1, 77), jnp.int32))["params"]
+    frozen = SDComponents(
+        unet_params=unet_params,
+        vae_params=vae_params,
+        text_params=text_params,
+        unet_apply=lambda p, x, t, c: unet.apply({"params": p}, x, t, c),
+        vae_encode=lambda p, x: vae.apply(p, x, method=vae.encode_moments),
+        text_apply=lambda p, ids: text.apply({"params": p}, ids),
+    )
+    cfg = DiffusionConfig(image_size=image_size,
+                          train_batch_size=batch_size).with_schedule(100)
+    sched = DiffusionSchedule.create(1000, "scaled_linear", 0.00085, 0.012)
+    lcfg = LoRAConfig(rank=8, alpha=8.0, dropout=0.0)
+    adapter = init_lora(unet_params, lcfg, jax.random.PRNGKey(1))
+    state = create_sd_train_state(cfg, init_trainable(adapter))
+    images = jnp.zeros((batch_size, image_size, image_size, 3), jnp.uint8)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    none_ids = jnp.zeros((1,), jnp.int32)
+
+    def run_chain(state, base: int) -> tuple:
+        losses = []
+        for i in range(chain):
+            state, loss = sd_lora_train_step(
+                state, frozen, sched, images, ids, none_ids,
+                jax.random.PRNGKey(base + i), lcfg)
+            losses.append(loss)
+        total = float(jax.device_get(sum(losses)))
+        assert np.isfinite(total), "non-finite SD LoRA training loss"
+        return state
+
+    t0 = time.perf_counter()
+    state = run_chain(state, 100)  # compile + warmup
+    compile_s = time.perf_counter() - t0
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        state = run_chain(state, 1000 * (r + 1))
+        times.append((time.perf_counter() - t0) / chain)
+    return {"sd_lora_train_images_per_sec": batch_size / min(times),
+            "compile_sec": compile_s}
 
 
 def main():
@@ -146,6 +233,7 @@ def main():
     parser.add_argument("--sampler", default="ddim")
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--train", action="store_true")
+    parser.add_argument("--train-diffusion", action="store_true")
     args = parser.parse_args()
 
     result = bench_sampling(args.batch, args.image_size, args.steps,
@@ -161,6 +249,9 @@ def main():
     if args.train:
         out["classifier_train_images_per_sec"] = round(
             bench_classifier_train()["train_images_per_sec"], 2)
+    if args.train_diffusion:
+        out["sd_lora_train_images_per_sec"] = round(
+            bench_sd_lora_train()["sd_lora_train_images_per_sec"], 2)
     print(json.dumps(out))
 
 
