@@ -47,8 +47,10 @@ REFERENCE_CPU_SAMPLES_PER_SEC = _reference_cpu_samples_per_sec()
 
 
 def bench_sampling(batch_size: int, image_size: int, steps: int,
-                   sampler_name: str, quick: bool, repeats: int = 3) -> dict:
+                   sampler_name: str, quick: bool, repeats: int = 3,
+                   quantize: str | None = None) -> dict:
     from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
+    from polyp_tpu.ops import quant
     from polyp_tpu.models import sd14_unet, tiny_condition_unet, tiny_vae, AutoencoderKL
 
     dtype = jnp.bfloat16
@@ -79,7 +81,8 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
     @jax.jit
     def generate(uparams, vparams, cond, uncond, key):
         def raw_fn(z, tt, emb):
-            return unet.apply({"params": uparams}, z, tt, emb)
+            with quant.override(quantize):
+                return unet.apply({"params": uparams}, z, tt, emb)
 
         model_fn = with_cfg(raw_fn, cond, uncond, 7.5)
         latents = sample(sampler_name, model_fn, schedule,
@@ -234,14 +237,17 @@ def main():
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--train-diffusion", action="store_true")
+    parser.add_argument("--quantize", default=None, choices=["w8a8"],
+                        help="W8A8 UNet sampling (ops/quant.py); default off")
     args = parser.parse_args()
 
     result = bench_sampling(args.batch, args.image_size, args.steps,
-                            args.sampler, args.quick)
+                            args.sampler, args.quick, quantize=args.quantize)
     value = result["samples_per_sec"]
     out = {
         "metric": f"{args.image_size}px diffusion samples/sec/chip "
-                  f"({args.steps}-step {args.sampler.upper()})",
+                  f"({args.steps}-step {args.sampler.upper()}"
+                  + (f", {args.quantize}" if args.quantize else "") + ")",
         "value": round(value, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(value / REFERENCE_CPU_SAMPLES_PER_SEC, 2),

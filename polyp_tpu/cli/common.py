@@ -42,6 +42,10 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--cache-dir", type=str, default="./data/cache")
     parser.add_argument("--tracker-root", type=str, default="mlruns_local")
     parser.add_argument("--experiment-name", type=str, default=None)
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["w8a8"],
+                        help="quantized UNet sampling (int8 MXU path, "
+                             "ops/quant.py); training is never quantized")
     parser.add_argument("--mesh", type=str, default=None,
                         help="device mesh spec, e.g. 'data=8' (pure DP) or "
                              "'data=4,model=2' (DP × Megatron-TP on the "

@@ -41,7 +41,8 @@ def main(argv=None):
     parser.add_argument("--output-dir", type=str, default="runs/finetune_pretrained")
     args = parser.parse_args(argv)
 
-    config = DiffusionConfig(image_size=args.image_size,
+    config = DiffusionConfig(quantize=args.quantize,
+                             image_size=args.image_size,
                              num_epochs=args.num_epochs,
                              lora_rank=args.lora_rank, lora_alpha=args.lora_rank,
                              lora_dropout=0.0,

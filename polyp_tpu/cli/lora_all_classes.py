@@ -46,7 +46,8 @@ def main(argv=None):
                         help="miniature SD stack (smoke/CI)")
     args = parser.parse_args(argv)
 
-    config = DiffusionConfig(image_size=args.image_size,
+    config = DiffusionConfig(quantize=args.quantize,
+                             image_size=args.image_size,
                              num_epochs=args.num_epochs,
                              accumulation_steps=args.accumulation_steps,
                              experiment_name="baseline_with_lora")

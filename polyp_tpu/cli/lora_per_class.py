@@ -47,7 +47,8 @@ def main(argv=None):
                         help="miniature SD stack (smoke/CI)")
     args = parser.parse_args(argv)
 
-    config = DiffusionConfig(image_size=args.image_size,
+    config = DiffusionConfig(quantize=args.quantize,
+                             image_size=args.image_size,
                              num_epochs=args.num_epochs,
                              experiment_name="baseline_with_lora")
     flags = SDFlags(args.unconditional, args.class_condition,

@@ -67,6 +67,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = DiffusionConfig(
+        quantize=args.quantize,
         image_size=args.image_size, train_batch_size=args.train_batch_size,
         num_epochs=args.num_epochs,
         num_train_timesteps=args.num_train_timesteps,
@@ -155,7 +156,7 @@ def main(argv=None):
                     _model, st.params, _sched, _cfg.image_size,
                     sampler="ddpm" if args.sample_steps is None else "ddim",
                     num_steps=args.sample_steps, text_embeddings=_emb,
-                    mesh=mesh)
+                    mesh=mesh, quantize=_cfg.quantize)
                 out = Path(_cfg.output_dir) / "samples" / _cls
                 generate_to_dir(sampler, quotas[_cls], out,
                                 _cfg.eval_batch_size, _cfg.seed,

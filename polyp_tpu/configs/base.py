@@ -69,6 +69,7 @@ class DiffusionConfig:
     num_inference_steps: int = 25
     guidance_scale: float = 7.5
     sampler: str = "unipc"  # "ddpm" | "ddim" | "unipc"
+    quantize: str | None = None  # "w8a8" UNet sampling (ops/quant.py); TPU extra
 
     # LoRA
     lora_rank: int = 8

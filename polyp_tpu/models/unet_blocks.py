@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from polyp_tpu.ops import dot_product_attention, group_norm
+from polyp_tpu.ops import quant
 
 
 def sinusoidal_time_embedding(timesteps: jax.Array, dim: int,
@@ -71,6 +72,44 @@ class GroupNorm(nn.Module):
         return group_norm(x, scale, bias, self.num_groups, self.eps, self.act)
 
 
+class QConv(nn.Module):
+    """`nn.Conv`-equivalent NHWC conv (identical param tree, init, and
+    full-precision numerics) that additionally honours ops.quant's
+    trace-time W8A8 mode: when enabled — and the layer is wide enough to
+    pay (min channel ≥ quant.MIN_QUANT_CHANNELS) — it runs the s8×s8→s32
+    MXU path with dynamic activation scales. Used for every hot conv in
+    the UNet/VAE block family; callers opt in per trace region via
+    `quant.override("w8a8")` (the samplers wrap only the UNet forward)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: int | tuple[int, int] = 1
+    padding: str | tuple = "SAME"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        strides = ((self.strides, self.strides)
+                   if isinstance(self.strides, int) else tuple(self.strides))
+        padding = (self.padding if isinstance(self.padding, str)
+                   else [tuple(p) for p in self.padding])
+        if quant.conv_quantizable(cin, self.features):
+            y = quant.w8a8_conv(x, kernel, strides, padding, self.dtype)
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), strides,
+                padding, dimension_numbers=dn)
+        return y + bias.astype(y.dtype)
+
+
 class ResnetBlock2D(nn.Module):
     """GN+SiLU+Conv ×2 with additive time embedding and 1×1 skip projection —
     the UNet workhorse (the Pallas fusion target for GN+SiLU+conv)."""
@@ -87,19 +126,19 @@ class ResnetBlock2D(nn.Module):
                  deterministic: bool = True) -> jax.Array:
         residual = x
         h = GroupNorm(self.groups, self.eps, act="silu", name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                    dtype=self.dtype, name="conv1")(h)
+        h = QConv(self.out_channels, (3, 3), padding="SAME",
+                  dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = GroupNorm(self.groups, self.eps, act="silu", name="norm2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                    dtype=self.dtype, name="conv2")(h)
+        h = QConv(self.out_channels, (3, 3), padding="SAME",
+                  dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
-            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                               name="conv_shortcut")(residual)
+            residual = QConv(self.out_channels, (1, 1), dtype=self.dtype,
+                             name="conv_shortcut")(residual)
         return h + residual
 
 
@@ -162,8 +201,7 @@ class Attention(nn.Module):
             return out + bo.astype(self.dtype)
 
         def proj(h, w, b):
-            y = h @ w.astype(self.dtype)
-            return y + b.astype(self.dtype) if b is not None else y
+            return quant.maybe_quantized_dense(h, w, b, self.dtype)
 
         n, tq = x.shape[0], x.shape[1]
         tk = ctx.shape[1]
@@ -212,10 +250,13 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         dim = x.shape[-1]
-        hidden = nn.Dense(dim * self.mult * 2, dtype=self.dtype,
-                          name="ff_net_0_proj")(x)
+        w0, b0 = _ProjParams(dim, dim * self.mult * 2,
+                             name="ff_net_0_proj")()
+        w2, b2 = _ProjParams(dim * self.mult, dim, name="ff_net_2")()
+        hidden = quant.maybe_quantized_dense(x, w0, b0, self.dtype)
         a, gate = jnp.split(hidden, 2, axis=-1)
-        return nn.Dense(dim, dtype=self.dtype, name="ff_net_2")(a * nn.gelu(gate))
+        return quant.maybe_quantized_dense(a * nn.gelu(gate), w2, b2,
+                                           self.dtype)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -260,14 +301,14 @@ class Transformer2D(nn.Module):
         inner = self.num_heads * self.head_dim
         residual = x
         y = GroupNorm(32, 1e-6, name="norm")(x)
-        y = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(y)
+        y = QConv(inner, (1, 1), dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(n, h * w, inner)
         for i in range(self.depth):
             y = BasicTransformerBlock(
                 self.num_heads, self.head_dim, self.cross_attention_dim,
                 self.dtype, name=f"transformer_blocks_{i}")(y, context)
         y = y.reshape(n, h, w, inner)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        y = QConv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
         return y + residual
 
 
@@ -279,8 +320,9 @@ class Downsample2D(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         # diffusers pads (0,1,0,1) then convs with VALID; SAME on even sizes
         # is equivalent for stride-2 3×3.
-        return nn.Conv(self.out_channels, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
-                       dtype=self.dtype, name="conv")(x)
+        return QConv(self.out_channels, (3, 3), strides=2,
+                     padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                     name="conv")(x)
 
 
 class Upsample2D(nn.Module):
@@ -301,5 +343,5 @@ class Upsample2D(nn.Module):
         n, h, w, c = x.shape
         th, tw = out_size if out_size is not None else (h * 2, w * 2)
         x = jax.image.resize(x, (n, th, tw, c), "nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                       dtype=self.dtype, name="conv")(x)
+        return QConv(self.out_channels, (3, 3), padding="SAME",
+                     dtype=self.dtype, name="conv")(x)

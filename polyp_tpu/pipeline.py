@@ -28,6 +28,7 @@ import numpy as np
 from PIL import Image
 
 from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
+from polyp_tpu.ops import quant
 from polyp_tpu.models.vae import SD_VAE_SCALING
 from polyp_tpu.utils.rng import batch_seed_key
 
@@ -58,8 +59,9 @@ class PixelDiffusionSampler:
                  image_size: int, sampler: str = "ddpm",
                  num_steps: int | None = None,
                  text_embeddings: jax.Array | None = None,
-                 mesh=None):
+                 mesh=None, quantize: str | None = None):
         self.model = model
+        self.quantize = quantize
         self.params = params
         self.schedule = schedule
         self.image_size = image_size
@@ -93,10 +95,12 @@ class PixelDiffusionSampler:
                                    (batch_size,) + text_embeddings.shape[-2:])
 
             def model_fn(x, t):
-                return self.model.apply({"params": params}, x, t, ctx)
+                with quant.override(self.quantize):
+                    return self.model.apply({"params": params}, x, t, ctx)
         else:
             def model_fn(x, t):
-                return self.model.apply({"params": params}, x, t)
+                with quant.override(self.quantize):
+                    return self.model.apply({"params": params}, x, t)
 
         return sample(self.sampler, model_fn, self.schedule, shape, key,
                       self.num_steps)
@@ -116,8 +120,9 @@ class StableDiffusionSampler:
                  text_params, tokenizer, schedule: DiffusionSchedule,
                  image_size: int = 256, num_steps: int = 25,
                  guidance_scale: float = 7.5, sampler: str = "unipc",
-                 mesh=None):
+                 mesh=None, quantize: str | None = None):
         self.unet = unet
+        self.quantize = quantize
         self.unet_params = unet_params
         self.vae = vae
         self.vae_params = vae_params
@@ -151,7 +156,10 @@ class StableDiffusionSampler:
         latent_size = self.image_size // 8
 
         def raw_fn(x, t, emb):
-            return self.unet.apply({"params": unet_params}, x, t, emb)
+            # quantization scoped to the UNet only (trace-time context):
+            # the VAE decode below stays full-precision.
+            with quant.override(self.quantize):
+                return self.unet.apply({"params": unet_params}, x, t, emb)
 
         model_fn = with_cfg(raw_fn, cond, uncond, self.guidance_scale)
         shape = (batch_size, latent_size, latent_size, 4)

@@ -1,0 +1,142 @@
+"""W8A8 quantization (ops/quant.py + models.unet_blocks.QConv): weight
+quantization bounds, dense/conv numerics vs full precision, trace-time mode
+scoping, and nn.Conv param-tree/numerics compatibility."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from polyp_tpu.ops import quant
+
+
+def test_quantize_weight_bounds():
+    w = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 16, 8)) * 0.2
+    wq, scale = quant.quantize_weight(w, (0, 1, 2))
+    assert wq.dtype == jnp.int8 and scale.shape == (1, 1, 1, 8)
+    recon = wq.astype(jnp.float32) * scale
+    # symmetric round-to-nearest: per-element error ≤ scale/2 of its channel
+    err = np.abs(np.asarray(recon - w))
+    assert (err <= np.asarray(scale) / 2 + 1e-7).all()
+    # int8 range respected
+    assert int(np.abs(np.asarray(wq)).max()) <= 127
+
+
+def test_w8a8_dense_close_to_fp32():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (4, 128)) * 0.5
+    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 96)) * 0.1
+    got = quant.w8a8_dense(x, w, jnp.float32)
+    want = x @ w
+    # 8-bit symmetric: ~1% relative Frobenius error on gaussian data
+    rel = np.linalg.norm(np.asarray(got - want)) / np.linalg.norm(np.asarray(want))
+    assert rel < 0.02, rel
+
+
+def test_w8a8_conv_close_to_fp32():
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (2, 8, 8, 64)) * 0.5
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 64, 64)) * 0.05
+    got = quant.w8a8_conv(x, w, (1, 1), "SAME", jnp.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                        dimension_numbers=dn)
+    rel = np.linalg.norm(np.asarray(got - want)) / np.linalg.norm(np.asarray(want))
+    assert rel < 0.02, rel
+
+
+def test_mode_scoping():
+    assert quant.quantization() is None  # default OFF — the training contract
+    with quant.override("w8a8"):
+        assert quant.quantization() == "w8a8"
+        with quant.override(None):  # nested disable (e.g. VAE inside sampler)
+            assert quant.quantization() is None
+        assert quant.quantization() == "w8a8"
+    assert quant.quantization() is None
+    with pytest.raises(ValueError):
+        with quant.override("int4"):
+            pass
+
+
+def test_thin_layers_not_quantized():
+    with quant.override("w8a8"):
+        assert not quant.conv_quantizable(4, 320)    # conv_in
+        assert not quant.conv_quantizable(320, 4)    # conv_out
+        assert quant.conv_quantizable(320, 320)
+        assert quant.dense_quantizable(320, 2560)
+    assert not quant.conv_quantizable(320, 320)      # mode off
+
+
+def test_qconv_matches_nn_conv():
+    """QConv must be a drop-in for nn.Conv: identical param tree, identical
+    init values (same RNG), identical full-precision output — the importer/
+    LoRA/checkpoint compatibility contract."""
+    from polyp_tpu.models.unet_blocks import QConv
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 6, 16))
+    for strides, padding in [(1, "SAME"), (2, [(1, 1), (1, 1)])]:
+        ours = QConv(24, (3, 3), strides=strides, padding=padding,
+                     dtype=jnp.float32, name="conv")
+        ref = nn.Conv(24, (3, 3), strides=strides, padding=padding,
+                      dtype=jnp.float32, name="conv")
+        p_ours = ours.init(jax.random.PRNGKey(7), x)["params"]
+        p_ref = ref.init(jax.random.PRNGKey(7), x)["params"]
+        assert jax.tree.structure(p_ours) == jax.tree.structure(p_ref)
+        for a, b in zip(jax.tree.leaves(p_ours), jax.tree.leaves(p_ref)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(ours.apply({"params": p_ours}, x)),
+            np.asarray(ref.apply({"params": p_ref}, x)), rtol=1e-6, atol=1e-6)
+
+
+def test_resnet_block_quantized_forward():
+    """A 64-channel ResnetBlock2D (wide enough to quantize) stays close to
+    its full-precision output under w8a8, over the SAME params."""
+    from polyp_tpu.models.unet_blocks import ResnetBlock2D
+
+    block = ResnetBlock2D(64, use_time_emb=False, groups=8)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 64)) * 0.5
+    params = block.init(jax.random.PRNGKey(5), x)["params"]
+    full = block.apply({"params": params}, x)
+    with quant.override("w8a8"):
+        q = block.apply({"params": params}, x)
+    assert np.isfinite(np.asarray(q)).all()
+    rel = (np.linalg.norm(np.asarray(q - full))
+           / np.linalg.norm(np.asarray(full)))
+    assert 0 < rel < 0.05, rel  # quantized differs, but not wildly
+
+
+def test_ff_and_attention_param_trees_unchanged():
+    """FeedForward's move to raw-param dispatch keeps the nn.Dense tree."""
+    from polyp_tpu.models.unet_blocks import FeedForward
+
+    ff = FeedForward()
+    params = ff.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32)))["params"]
+    assert set(params) == {"ff_net_0_proj", "ff_net_2"}
+    assert params["ff_net_0_proj"]["kernel"].shape == (32, 256)
+    assert params["ff_net_2"]["kernel"].shape == (128, 32)
+    assert set(params["ff_net_2"]) == {"kernel", "bias"}
+
+
+def test_sampler_quantize_plumbing():
+    """PixelDiffusionSampler(quantize='w8a8') traces and samples finitely on
+    CPU with a tiny UNet (thin layers fall back to full precision — the
+    plumbing, scoping and jit interaction are what's under test)."""
+    from polyp_tpu.diffusion import DiffusionSchedule
+    from polyp_tpu.models import UNet2D
+    from polyp_tpu.pipeline import PixelDiffusionSampler
+
+    model = UNet2D(block_out_channels=(16, 32),
+                   down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+                   up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+                   layers_per_block=1)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1,), jnp.int32))["params"]
+    sched = DiffusionSchedule.create(10)
+    out = PixelDiffusionSampler(model, params, sched, 16, sampler="ddim",
+                                num_steps=2, quantize="w8a8")(2, key)
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
