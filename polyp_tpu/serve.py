@@ -129,11 +129,14 @@ def main(argv=None):
     parser.add_argument("--image_size", type=int, default=256)
     parser.add_argument("--steps", type=int, default=25)
     parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--quantize", default=None, choices=["w8a8"],
+                        help="W8A8 UNet sampling (ops/quant.py)")
     args = parser.parse_args(argv)
 
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
     config = DiffusionConfig(image_size=args.image_size,
-                             num_inference_steps=args.steps)
+                             num_inference_steps=args.steps,
+                             quantize=args.quantize)
     sampler = make_sampler(stack, stack.unet_params,
                            stack.text_params["params"], config)
     service = GenerationService(sampler.for_prompt, args.max_batch,
