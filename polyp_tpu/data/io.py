@@ -20,11 +20,16 @@ def decode_image(path: str | Path) -> np.ndarray:
     """Decode any supported image (.tif/.png/...) to uint8 RGB HWC. PNGs use
     the native libpng path when POLYP_NATIVE_PREPROCESS=1 and the library is
     built (sample read-back in the eval harness is thousands of PNGs)."""
-    if str(path).endswith(".png") and \
-            os.environ.get("POLYP_NATIVE_PREPROCESS", "0") == "1":
+    if os.environ.get("POLYP_NATIVE_PREPROCESS", "0") == "1":
         from polyp_tpu.data import native
-        if native.png_available():
+        name = str(path)
+        if name.endswith(".png") and native.png_available():
             return native.decode_png(path)
+        if name.endswith((".tif", ".tiff")) and native.tiff_available():
+            try:
+                return native.decode_tiff(path)
+            except ValueError:
+                pass  # outside the native profile — PIL handles it below
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"))
 

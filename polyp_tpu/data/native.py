@@ -19,6 +19,8 @@ _LIB = None
 _SEARCHED = False
 _PNG_LIB = None
 _PNG_SEARCHED = False
+_TIFF_LIB = None
+_TIFF_SEARCHED = False
 
 
 def _find_png_lib():
@@ -39,6 +41,47 @@ def _find_png_lib():
 
 def png_available() -> bool:
     return _find_png_lib() is not None
+
+
+def _find_tiff_lib():
+    global _TIFF_LIB, _TIFF_SEARCHED
+    if _TIFF_SEARCHED:
+        return _TIFF_LIB
+    _TIFF_SEARCHED = True
+    path = Path(__file__).resolve().parents[2] / "native" / "libpolyp_tiff.so"
+    if path.exists():
+        lib = ctypes.CDLL(str(path))
+        lib.polyp_tiff_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.polyp_tiff_decode.restype = ctypes.c_int
+        _TIFF_LIB = lib
+    return _TIFF_LIB
+
+
+def tiff_available() -> bool:
+    return _find_tiff_lib() is not None
+
+
+def decode_tiff(path) -> np.ndarray:
+    """Native baseline-TIFF decode → uint8 RGB HWC (corpus ingestion,
+    native/tiff_decode.cpp). Raises ValueError outside the supported
+    profile — callers fall back to PIL (io.decode_image)."""
+    lib = _find_tiff_lib()
+    if lib is None:
+        raise RuntimeError("native tiff library not built; run `make -C native`")
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    encoded = str(path).encode()
+    rc = lib.polyp_tiff_decode(encoded, None, 0, ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"tiff decode failed ({rc}): {path}")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.polyp_tiff_decode(encoded, out.ctypes.data, out.nbytes,
+                               ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"tiff decode failed ({rc}): {path}")
+    return out
 
 
 def decode_png(path) -> np.ndarray:

@@ -85,3 +85,74 @@ class TestNativePNG:
     def test_decode_missing_file_raises(self, tmp_path):
         with pytest.raises(ValueError, match="png decode failed"):
             native.decode_png(tmp_path / "nope.png")
+
+
+class TestNativeTIFF:
+    """native/tiff_decode.cpp vs PIL over the corpus-relevant TIFF profile
+    (the reference corpus is CSV-listed .tif files — PolypDataset.py:48-53)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_lib(self):
+        from polyp_tpu.data import native
+
+        if not native.tiff_available():
+            pytest.skip("native tiff library not built")
+
+    @pytest.mark.parametrize("mode,compression", [
+        ("RGB", None),            # uncompressed strips (PIL default)
+        ("RGB", "tiff_lzw"),      # LZW + horizontal predictor path
+        ("RGB", "packbits"),
+        ("L", None),              # grayscale → expanded
+        ("RGBA", None),           # alpha dropped
+        ("RGB", "tiff_deflate"),  # OUTSIDE profile → ValueError (PIL fallback)
+    ])
+    def test_decode_matches_pil(self, tmp_path, mode, compression):
+        from PIL import Image
+
+        from polyp_tpu.data import native
+
+        rng = np.random.default_rng(hash(mode) % 2**31)
+        arr = rng.integers(0, 255, (37, 53, len(mode)), np.uint8).squeeze()
+        p = tmp_path / "x.tif"
+        kw = {"compression": compression} if compression else {}
+        Image.fromarray(arr, mode).save(p, **kw)
+        want = np.asarray(Image.open(p).convert("RGB"))
+        if compression == "tiff_deflate":
+            with pytest.raises(ValueError):
+                native.decode_tiff(p)
+            return
+        got = native.decode_tiff(p)
+        np.testing.assert_array_equal(got, want)
+
+    def test_decode_multi_strip(self, tmp_path):
+        """RowsPerStrip < height exercises the strip loop; PIL writes
+        multi-strip files for tall images."""
+        from PIL import Image, TiffImagePlugin
+
+        from polyp_tpu.data import native
+
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 255, (200, 31, 3), np.uint8)
+        p = tmp_path / "tall.tif"
+        with TiffImagePlugin.AppendingTiffWriter(str(p), True) as tf:
+            Image.fromarray(arr).save(tf)
+        got = native.decode_tiff(p)
+        np.testing.assert_array_equal(got,
+                                      np.asarray(Image.open(p).convert("RGB")))
+
+    def test_io_dispatch_uses_native(self, tmp_path, monkeypatch):
+        from PIL import Image
+
+        from polyp_tpu.data import io
+
+        arr = np.full((8, 9, 3), 77, np.uint8)
+        p = tmp_path / "d.tif"
+        Image.fromarray(arr).save(p)
+        monkeypatch.setenv("POLYP_NATIVE_PREPROCESS", "1")
+        np.testing.assert_array_equal(io.decode_image(p), arr)
+
+    def test_missing_file_raises(self, tmp_path):
+        from polyp_tpu.data import native
+
+        with pytest.raises(ValueError):
+            native.decode_tiff(tmp_path / "nope.tif")
