@@ -140,3 +140,32 @@ def test_sampler_quantize_plumbing():
                                 num_steps=2, quantize="w8a8")(2, key)
     assert out.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+@pytest.mark.slow
+def test_sd_sampler_quantized_path_engages(monkeypatch):
+    """Force the tiny SD stack's layers over the quantization threshold so
+    the full StableDiffusionSampler actually runs the int8 path on CPU:
+    finite images, and measurably different from the bf16 trace (proving
+    the mode engaged inside the jitted scan)."""
+    monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+    from polyp_tpu.cli.common import load_sd_stack
+    from polyp_tpu.cli.sd_common import make_sampler
+    from polyp_tpu.configs import DiffusionConfig
+
+    stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+    key = jax.random.PRNGKey(0)
+
+    def run(quantize):
+        cfg = DiffusionConfig(image_size=16, num_inference_steps=2,
+                              sampler="ddim", quantize=quantize)
+        sampler = make_sampler(stack, stack.unet_params,
+                               stack.text_params["params"], cfg)
+        return np.asarray(
+            sampler.for_prompt("a colon polyp")(2, key), np.float32)
+
+    full = run(None)
+    q = run("w8a8")
+    assert q.shape == (2, 16, 16, 3)
+    assert np.isfinite(q).all()
+    assert not np.allclose(q, full), "w8a8 mode did not engage"
