@@ -222,7 +222,9 @@ int polyp_tiff_decode(const char* path, uint8_t* dst, int64_t dst_capacity,
   int64_t need = (int64_t)height * width * 3;
   if (dst_capacity < need) return 14;
 
-  if (rows_per_strip == 0) rows_per_strip = height;
+  // tag 278 absent → spec default 2^32-1 (one strip); clamp to height so
+  // the strip-count arithmetic below cannot wrap.
+  if (rows_per_strip == 0 || rows_per_strip > height) rows_per_strip = height;
   uint32_t nstrips = (height + rows_per_strip - 1) / rows_per_strip;
   if (strip_offsets.count < nstrips) return 15;
 

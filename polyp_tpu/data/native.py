@@ -17,90 +17,67 @@ import numpy as np
 
 _LIB = None
 _SEARCHED = False
-_PNG_LIB = None
-_PNG_SEARCHED = False
-_TIFF_LIB = None
-_TIFF_SEARCHED = False
+# decoder libraries, keyed by kind: {kind: lib | None}; searched lazily
+_DECODERS: dict[str, object] = {}
 
 
-def _find_png_lib():
-    global _PNG_LIB, _PNG_SEARCHED
-    if _PNG_SEARCHED:
-        return _PNG_LIB
-    _PNG_SEARCHED = True
-    path = Path(__file__).resolve().parents[2] / "native" / "libpolyp_png.so"
+def _find_decoder(kind: str):
+    """Lazy-load a decode library (native/libpolyp_{kind}.so) exposing
+    `polyp_{kind}_decode(path, dst, cap, *h, *w) -> int` (the shared C ABI
+    of png_decode.cpp / tiff_decode.cpp)."""
+    if kind in _DECODERS:
+        return _DECODERS[kind]
+    lib = None
+    path = Path(__file__).resolve().parents[2] / "native" / f"libpolyp_{kind}.so"
     if path.exists():
         lib = ctypes.CDLL(str(path))
-        lib.polyp_png_decode.argtypes = [
+        fn = getattr(lib, f"polyp_{kind}_decode")
+        fn.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
-        lib.polyp_png_decode.restype = ctypes.c_int
-        _PNG_LIB = lib
-    return _PNG_LIB
+        fn.restype = ctypes.c_int
+    _DECODERS[kind] = lib
+    return lib
+
+
+def _decode(kind: str, path) -> np.ndarray:
+    lib = _find_decoder(kind)
+    if lib is None:
+        raise RuntimeError(
+            f"native {kind} library not built; run `make -C native`")
+    fn = getattr(lib, f"polyp_{kind}_decode")
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    encoded = str(path).encode()
+    rc = fn(encoded, None, 0, ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"{kind} decode failed ({rc}): {path}")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = fn(encoded, out.ctypes.data, out.nbytes,
+            ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"{kind} decode failed ({rc}): {path}")
+    return out
 
 
 def png_available() -> bool:
-    return _find_png_lib() is not None
-
-
-def _find_tiff_lib():
-    global _TIFF_LIB, _TIFF_SEARCHED
-    if _TIFF_SEARCHED:
-        return _TIFF_LIB
-    _TIFF_SEARCHED = True
-    path = Path(__file__).resolve().parents[2] / "native" / "libpolyp_tiff.so"
-    if path.exists():
-        lib = ctypes.CDLL(str(path))
-        lib.polyp_tiff_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
-        lib.polyp_tiff_decode.restype = ctypes.c_int
-        _TIFF_LIB = lib
-    return _TIFF_LIB
+    return _find_decoder("png") is not None
 
 
 def tiff_available() -> bool:
-    return _find_tiff_lib() is not None
+    return _find_decoder("tiff") is not None
+
+
+def decode_png(path) -> np.ndarray:
+    """Native libpng decode → uint8 RGB HWC (eval-harness sample read-back)."""
+    return _decode("png", path)
 
 
 def decode_tiff(path) -> np.ndarray:
     """Native baseline-TIFF decode → uint8 RGB HWC (corpus ingestion,
     native/tiff_decode.cpp). Raises ValueError outside the supported
     profile — callers fall back to PIL (io.decode_image)."""
-    lib = _find_tiff_lib()
-    if lib is None:
-        raise RuntimeError("native tiff library not built; run `make -C native`")
-    h = ctypes.c_int32()
-    w = ctypes.c_int32()
-    encoded = str(path).encode()
-    rc = lib.polyp_tiff_decode(encoded, None, 0, ctypes.byref(h), ctypes.byref(w))
-    if rc != 0:
-        raise ValueError(f"tiff decode failed ({rc}): {path}")
-    out = np.empty((h.value, w.value, 3), np.uint8)
-    rc = lib.polyp_tiff_decode(encoded, out.ctypes.data, out.nbytes,
-                               ctypes.byref(h), ctypes.byref(w))
-    if rc != 0:
-        raise ValueError(f"tiff decode failed ({rc}): {path}")
-    return out
-
-
-def decode_png(path) -> np.ndarray:
-    """Native libpng decode → uint8 RGB HWC (eval-harness sample read-back)."""
-    lib = _find_png_lib()
-    if lib is None:
-        raise RuntimeError("native png library not built; run `make -C native`")
-    h = ctypes.c_int32()
-    w = ctypes.c_int32()
-    encoded = str(path).encode()
-    rc = lib.polyp_png_decode(encoded, None, 0, ctypes.byref(h), ctypes.byref(w))
-    if rc != 0:
-        raise ValueError(f"png decode failed ({rc}): {path}")
-    out = np.empty((h.value, w.value, 3), np.uint8)
-    rc = lib.polyp_png_decode(encoded, out.ctypes.data, out.nbytes,
-                              ctypes.byref(h), ctypes.byref(w))
-    if rc != 0:
-        raise ValueError(f"png decode failed ({rc}): {path}")
-    return out
+    return _decode("tiff", path)
 
 
 def _find_lib():

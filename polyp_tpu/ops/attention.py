@@ -42,8 +42,12 @@ def use_fused_mha(x: jax.Array, ctx: jax.Array, num_heads: int,
         # half MXU occupancy) — measured slower; XLA keeps it.
         return False
     from polyp_tpu.ops import fused_mha as fm
-    return (fm.supported(x, ctx, num_heads, head_dim, qkv_bias)
-            and fm.profitable(x, ctx))
+    from polyp_tpu.ops import quant
+    if quant.quantization() is not None:
+        # w8a8 mode: the unfused path quantizes the projections; the fused
+        # kernel is bf16-only and would silently bypass the mode.
+        return False
+    return fm.supported(x, ctx, num_heads, head_dim, qkv_bias)
 
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -62,21 +62,17 @@ def _round_up(x: int, m: int) -> int:
 
 def supported(x: jax.Array, ctx: jax.Array, num_heads: int, head_dim: int,
               qkv_bias: bool) -> bool:
-    """Shape/feature gate for the fused kernel. The VAE's biased single-head
-    attention and CLIP's causal path stay on XLA."""
+    """Shape/feature/profitability gate for the fused kernel. The VAE's
+    biased single-head attention and CLIP's causal path stay on XLA; the
+    1024-token floor is where the flash pre/post copies this kernel
+    eliminates start to exist."""
     if qkv_bias or jax.default_backend() != "tpu":
         return False
-    b, tq, c = x.shape
-    tk = ctx.shape[1]
-    # q tokens must tile the MXU; kv tokens are padded+masked internally.
-    # head_dim ≤ 128 keeps one head in a single lane tile after padding.
-    return tq % 128 == 0 and tq >= 1024 and head_dim <= 128 and tk >= 1
-
-
-def profitable(x: jax.Array, ctx: jax.Array) -> bool:
-    # Wins come from eliminating the flash pre/post copies, which only exist
-    # at flash-profitable sizes (1024+ q tokens).
-    return x.shape[1] >= 1024
+    tq = x.shape[1]
+    # q tokens must tile the MXU (the impl shrinks block_q to a 128-aligned
+    # divisor of tq); kv tokens are padded+masked internally. head_dim ≤ 128
+    # keeps one head in a single lane tile after padding.
+    return tq % 128 == 0 and tq >= 1024 and head_dim <= 128 and ctx.shape[1] >= 1
 
 
 def reference_mha(x, ctx, wq, wk, wv, wo, *, num_heads: int, head_dim: int):
@@ -223,7 +219,12 @@ def _fused_mha_impl(x, ctx, wq, wk, wv, wo, *, num_heads, head_dim,
     wo_p = jnp.pad(wo.reshape(h, d, co).astype(dtype),
                    ((0, 0), (0, dp - d), (0, 0)))
 
-    block_q = min(block_q, tq)
+    # block_q must divide tq or trailing q rows would never be computed
+    # (grid uses tq // block_q); gcd keeps 128-alignment since both are
+    # multiples of 128 on the supported() path.
+    block_q = math.gcd(min(block_q, tq), tq)
+    if tq % block_q or block_q % 128:
+        raise ValueError(f"block_q {block_q} incompatible with tq {tq}")
     tk_pad = _round_up(tk, min(block_k, _round_up(tk, 128)))
     block_k = min(block_k, tk_pad)
     if tk_pad != tk:

@@ -83,6 +83,8 @@ def test_dispatch_policy(monkeypatch):
 
     x = jnp.zeros((2, 1024, 320))
     # measured-parity negative result: OFF unless explicitly opted in
+    # (delenv: the developer running the suite may have the opt-in exported)
+    monkeypatch.delenv("POLYP_FUSED_MHA", raising=False)
     assert not use_fused_mha(x, x, 8, 40, False, is_self=True)
     monkeypatch.setenv("POLYP_FUSED_MHA", "1")
     on_tpu = jax.default_backend() == "tpu"
@@ -95,3 +97,30 @@ def test_dispatch_policy(monkeypatch):
     assert not use_fused_mha(x, x, 8, 40, True, is_self=True)
     short = jnp.zeros((2, 256, 320))
     assert not use_fused_mha(short, short, 8, 40, False, is_self=True)
+
+
+def test_non_divisible_block_q():
+    """tq not divisible by block_q (e.g. 384px latents → 2304 tokens with
+    block_q=1024): the impl must shrink block_q to a divisor instead of
+    silently leaving trailing query rows uncomputed."""
+    key = jax.random.PRNGKey(5)
+    b, tq, c, h, d = 1, 384, 32, 2, 16  # gcd(256, 384) = 128
+    x = jax.random.normal(key, (b, tq, c), jnp.float32) * 0.3
+    wq, wk, wv, wo = _weights(key, c, c, h, d, c)
+    ours = fm.fused_mha(x, x, wq, wk, wv, wo, num_heads=h, head_dim=d,
+                        block_q=256, block_k=128, interpret=True)
+    ref = fm.reference_mha(x, x, wq, wk, wv, wo, num_heads=h, head_dim=d)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_dispatch_skips_fused_under_quantization(monkeypatch):
+    """--quantize w8a8 + POLYP_FUSED_MHA=1: the bf16-only fused kernel must
+    yield to the quant-aware unfused path."""
+    from polyp_tpu.ops import quant
+    from polyp_tpu.ops.attention import use_fused_mha
+
+    monkeypatch.setenv("POLYP_FUSED_MHA", "1")
+    x = jnp.zeros((2, 1024, 320))
+    with quant.override("w8a8"):
+        assert not use_fused_mha(x, x, 8, 40, False, is_self=True)

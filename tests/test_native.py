@@ -156,3 +156,40 @@ class TestNativeTIFF:
 
         with pytest.raises(ValueError):
             native.decode_tiff(tmp_path / "nope.tif")
+
+    def test_default_rows_per_strip(self, tmp_path):
+        """Tag 278 absent (spec default 2^32-1 = one strip): must decode,
+        not overflow the strip-count arithmetic."""
+        import struct
+
+        from polyp_tpu.data import native
+
+        h, w = 5, 7
+        pixels = bytes(range(h * w * 3 % 256)) * 0 + bytes(
+            (i * 7) % 256 for i in range(h * w * 3))
+        # classic little-endian TIFF: header, pixel strip, then the IFD
+        strip_off = 8
+        ifd_off = strip_off + len(pixels)
+        ntags = 7
+        header = struct.pack("<2sHI", b"II", 42, ifd_off)
+
+        def tag(t, typ, cnt, val):
+            return struct.pack("<HHII", t, typ, cnt, val)
+
+        bits_off = ifd_off + 2 + ntags * 12 + 4
+        ifd = struct.pack("<H", ntags)
+        ifd += tag(256, 4, 1, w)           # width
+        ifd += tag(257, 4, 1, h)           # height
+        ifd += tag(258, 3, 3, bits_off)    # bits per sample → offset
+        ifd += tag(262, 3, 1, 2)           # photometric RGB
+        ifd += tag(273, 4, 1, strip_off)   # strip offsets
+        ifd += tag(277, 3, 1, 3)           # samples/pixel
+        ifd += tag(279, 4, 1, len(pixels))  # strip byte counts
+        ifd += struct.pack("<I", 0)        # next IFD
+        ifd += struct.pack("<HHH", 8, 8, 8)
+        p = tmp_path / "nostrip.tif"
+        p.write_bytes(header + pixels + ifd)
+
+        got = native.decode_tiff(p)
+        want = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
+        np.testing.assert_array_equal(got, want)
