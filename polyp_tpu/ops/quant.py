@@ -68,6 +68,28 @@ def override(mode: Mode):
         _MODE.reset(token)
 
 
+@jax.custom_vjp
+def _inference_only(x: jax.Array) -> jax.Array:
+    """Identity that REFUSES differentiation: the activation rounding below
+    has a zero gradient, so a quantized train step would silently learn
+    nothing. Failing at backward-trace time turns that hazard into an
+    immediate, explicit error."""
+    return x
+
+
+def _inference_only_fwd(x):
+    return x, None
+
+
+def _inference_only_bwd(_, g):
+    raise NotImplementedError(
+        "w8a8 quantization is inference-only (zero gradient through int8 "
+        "rounding); disable quant.override(...) for training")
+
+
+_inference_only.defvjp(_inference_only_fwd, _inference_only_bwd)
+
+
 def quantize_weight(w: jax.Array,
                     reduce_axes: Sequence[int]) -> tuple[jax.Array, jax.Array]:
     """Symmetric per-output-channel int8 quantization of a weight tensor.
@@ -84,6 +106,7 @@ def quantize_weight(w: jax.Array,
 def _quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Dynamic per-tensor symmetric int8 quantization (scale from the live
     max-abs — one cheap VPU reduction per op)."""
+    x = _inference_only(x)
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
     scale = jnp.maximum(amax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127

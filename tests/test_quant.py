@@ -169,3 +169,12 @@ def test_sd_sampler_quantized_path_engages(monkeypatch):
     assert q.shape == (2, 16, 16, 3)
     assert np.isfinite(q).all()
     assert not np.allclose(q, full), "w8a8 mode did not engage"
+
+
+def test_quantized_path_refuses_gradients():
+    """Training through the w8a8 path must fail loudly (int8 rounding has a
+    zero gradient — silent no-learning otherwise)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64)) * 0.5
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 64)) * 0.1
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(lambda x: jnp.sum(quant.w8a8_dense(x, w, jnp.float32)))(x)
