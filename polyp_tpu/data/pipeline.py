@@ -87,10 +87,22 @@ class Loader:
         self.process_shard = process_shard
         self._rng = np.random.default_rng(seed)
 
+    def _mesh_spans_processes(self) -> bool:
+        """True when `mesh` includes devices of OTHER processes: every host
+        then participates in the same global SPMD step, so hosts must feed
+        the SAME global batch (assembled shard-wise below) — strided
+        whole-batch sharding would make each global step a mixture of
+        different hosts' batches, silently dropping (pc-1)/pc of the data."""
+        if self.mesh is None or jax.process_count() == 1:
+            return False
+        me = jax.process_index()
+        return any(d.process_index != me for d in self.mesh.devices.flat)
+
     def __len__(self) -> int:
         n = len(self.labels)
         total = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
-        if self.process_shard and jax.process_count() > 1:
+        if self.process_shard and jax.process_count() > 1 \
+                and not self._mesh_spans_processes():
             # every host runs the same (truncated) number of steps — see
             # _host_batches; with_schedule step counts must match reality.
             return total // jax.process_count()
@@ -100,10 +112,14 @@ class Loader:
         n = len(self.labels)
         batches = epoch_batches(n, self.batch_size, self._rng, self.shuffle,
                                 self.drop_last, self.weights)
-        if self.process_shard and jax.process_count() > 1:
-            # Truncate to a multiple of process_count BEFORE striding so every
-            # host executes the same number of jitted steps per epoch — a
-            # ragged split would hang collective-bearing multi-host training.
+        if self.process_shard and jax.process_count() > 1 \
+                and not self._mesh_spans_processes():
+            # Independent per-host training (no cross-process mesh): each
+            # host takes a disjoint strided slice of the epoch, truncated to
+            # a multiple of process_count so step counts agree across hosts.
+            # (With a cross-process mesh the striding is SKIPPED: every host
+            # iterates the identical seeded stream and the global batch is
+            # assembled shard-wise in __iter__.)
             pc = jax.process_count()
             batches = batches[: (len(batches) // pc) * pc]
             batches = batches[jax.process_index()::pc]
@@ -118,7 +134,19 @@ class Loader:
     def __iter__(self) -> Iterator[tuple[jax.Array, jax.Array, jax.Array]]:
         pending = None
         for host_batch in self._host_batches():
-            if self.mesh is not None:
+            if self._mesh_spans_processes():
+                # every host holds the identical full batch (same seed, no
+                # striding); each contributes exactly its addressable shards.
+                from polyp_tpu.parallel.mesh import data_sharding
+
+                def put(x):
+                    x = np.asarray(x)
+                    sh = data_sharding(self.mesh, x.ndim)
+                    return jax.make_array_from_callback(
+                        x.shape, sh, lambda idx: x[idx])
+
+                nxt = tuple(put(a) for a in host_batch)
+            elif self.mesh is not None:
                 from polyp_tpu.parallel.mesh import shard_batch
                 nxt = shard_batch(host_batch, self.mesh)
             else:

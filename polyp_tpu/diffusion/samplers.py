@@ -80,6 +80,7 @@ def ddpm_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
         i, t = args
         t_prev = jnp.where(i + 1 < num_steps, ts[jnp.minimum(i + 1, num_steps - 1)], -1)
         abar_t = abar[t]
+        # diffusers DDPMScheduler uses exactly 1.0 past the last step
         abar_prev = jnp.where(t_prev >= 0, abar[jnp.maximum(t_prev, 0)], 1.0)
         alpha_t = abar_t / abar_prev
         beta_t = 1.0 - alpha_t
@@ -111,12 +112,18 @@ def ddim_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                 shape: tuple[int, ...], key: jax.Array,
                 num_steps: int = 50, eta: float = 0.0,
                 clip_sample: bool = False,
-                steps_offset: int = 1) -> jax.Array:
+                steps_offset: int = 1,
+                final_alpha_to_one: bool = False) -> jax.Array:
     T = schedule.num_train_timesteps
     # leading spacing with steps_offset=1 — the SD-v1 scheduler-config
-    # convention (DDIMScheduler under StableDiffusionPipeline).
+    # convention (DDIMScheduler under StableDiffusionPipeline). Likewise
+    # final_alpha_to_one=False: SD-v1's scheduler config sets
+    # set_alpha_to_one=False, so the last step (prev_t < 0) uses
+    # ᾱ₀ = alphas_cumprod[0], not exactly 1.0 (diffusers' plain
+    # DDIMScheduler() default is True — flip the flag for that convention).
     ts = inference_timesteps(T, num_steps, "leading", steps_offset)
     abar = schedule.alphas_cumprod
+    final_abar = jnp.asarray(1.0) if final_alpha_to_one else abar[0]
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32)
 
@@ -125,7 +132,8 @@ def ddim_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
         i, t = args
         t_prev = jnp.where(i + 1 < num_steps, ts[jnp.minimum(i + 1, num_steps - 1)], -1)
         abar_t = abar[t]
-        abar_prev = jnp.where(t_prev >= 0, abar[jnp.maximum(t_prev, 0)], 1.0)
+        abar_prev = jnp.where(t_prev >= 0, abar[jnp.maximum(t_prev, 0)],
+                              final_abar)
 
         out = model_fn(x, _bcast_t(t, shape[0]))
         x0, eps = schedule.to_x0_eps(out, x, t)

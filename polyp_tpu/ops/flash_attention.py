@@ -145,10 +145,23 @@ _flash_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 def _flash_impl(q: jax.Array, k: jax.Array, v: jax.Array, *,
                 is_causal: bool, block_q: int, block_k: int,
                 interpret: bool) -> jax.Array:
+    if is_causal:
+        # Silently computing full attention here while the custom_vjp
+        # backward is causal would make fwd/bwd inconsistent — refuse.
+        raise NotImplementedError(
+            "flash_attention has no causal mask; the dispatch in "
+            "ops/attention.py keeps causal consumers (CLIP) on XLA")
     n, tq, h, d = q.shape
     tk = k.shape[1]
-    block_q = min(block_q, tq)
-    block_k = min(block_k, tk)
+    # blocks must DIVIDE the token counts: the grid floors tq//block_q and
+    # tk//block_k, so a non-divisor would silently drop trailing q rows
+    # (uninitialized output) and trailing k blocks (wrong softmax). gcd
+    # keeps 128-alignment because supported() guarantees tq/tk % 128 == 0.
+    block_q = math.gcd(min(block_q, tq), tq)
+    block_k = math.gcd(min(block_k, tk), tk)
+    if tq % block_q or tk % block_k or block_q % 128 or block_k % 128:
+        raise ValueError(f"untileable flash shapes: tq={tq} tk={tk} "
+                         f"block_q={block_q} block_k={block_k}")
     sm_scale = 1.0 / math.sqrt(d)
 
     d_pad = _round_up(d, 64)

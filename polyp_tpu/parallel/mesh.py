@@ -80,7 +80,11 @@ def mesh_from_spec(spec: str | None, devices=None) -> Mesh | None:
         if not name or not val.strip().lstrip("-").isdigit():
             raise ValueError(f"bad mesh spec {spec!r}; want e.g. "
                              "'data=8' or 'data=4,model=2'")
-        axes[name] = int(val)
+        size = int(val)
+        if size < 1 and size != -1:
+            raise ValueError(f"bad axis size {size} in {spec!r}; axis sizes "
+                             "must be >= 1 (-1 = fill with all devices)")
+        axes[name] = size
     fill = [k for k, v in axes.items() if v == -1]
     if len(fill) > 1:
         raise ValueError(f"only one axis may be -1 in {spec!r}")

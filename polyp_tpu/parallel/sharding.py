@@ -37,19 +37,26 @@ def _spec_for(path: tuple[str, ...], leaf, model_axis: str) -> P:
     return P()
 
 
-def unet_param_sharding(params: Any, mesh: Mesh,
-                        model_axis: str = "model") -> Any:
-    """NamedSharding tree for a param pytree under `mesh`. With no 'model'
-    axis in the mesh, everything is replicated (pure DP)."""
+def _sharding_tree(tree: Any, mesh: Mesh, model_axis: str, spec_fn) -> Any:
+    """Walk a param pytree building NamedShardings from `spec_fn(path, leaf)`
+    when the mesh has a >1 'model' axis, replicating otherwise (pure DP)."""
     has_model = model_axis in mesh.axis_names and mesh.shape[model_axis] > 1
 
     def walk(node, path=()):
         if isinstance(node, dict):
             return {k: walk(v, path + (k,)) for k, v in node.items()}
-        spec = _spec_for(path, node, model_axis) if has_model else P()
+        spec = spec_fn(path, node) if has_model else P()
         return NamedSharding(mesh, spec)
 
-    return walk(params)
+    return walk(tree)
+
+
+def unet_param_sharding(params: Any, mesh: Mesh,
+                        model_axis: str = "model") -> Any:
+    """NamedSharding tree for a param pytree under `mesh`. With no 'model'
+    axis in the mesh, everything is replicated (pure DP)."""
+    return _sharding_tree(params, mesh, model_axis,
+                          lambda path, leaf: _spec_for(path, leaf, model_axis))
 
 
 def shard_params(params: Any, mesh: Mesh, model_axis: str = "model") -> Any:
@@ -76,15 +83,8 @@ def lora_param_sharding(adapter: Any, mesh: Mesh,
                         model_axis: str = "model") -> Any:
     """NamedSharding tree for a LoRA adapter pytree, matching
     unet_param_sharding's TP layout so base+(A@B) merges without resharding."""
-    has_model = model_axis in mesh.axis_names and mesh.shape[model_axis] > 1
-
-    def walk(node, path=()):
-        if isinstance(node, dict):
-            return {k: walk(v, path + (k,)) for k, v in node.items()}
-        spec = _lora_spec_for(path, model_axis) if has_model else P()
-        return NamedSharding(mesh, spec)
-
-    return walk(adapter)
+    return _sharding_tree(adapter, mesh, model_axis,
+                          lambda path, leaf: _lora_spec_for(path, model_axis))
 
 
 def shard_lora(adapter: Any, mesh: Mesh, model_axis: str = "model") -> Any:

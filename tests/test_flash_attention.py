@@ -118,3 +118,26 @@ def test_flash_attention_is_differentiable():
     for ours, want in zip(grads, ref):
         np.testing.assert_allclose(np.asarray(ours), np.asarray(want),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_non_divisible_block_sizes_shrink_to_divisor():
+    """T not a multiple of the block size (e.g. 384px latents -> 2304 tokens
+    vs the 1024 defaults): blocks must shrink to a divisor instead of the
+    grid silently dropping trailing q rows / k blocks."""
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (1, 384, 1, 32), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 384, 1, 32))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 384, 1, 32))
+    ours = fa.flash_attention(q, k, v, block_q=256, block_k=256,
+                              interpret=True)  # gcd(256, 384) = 128
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_causal_flag_refused():
+    """flash_attention has no causal mask; silently computing full attention
+    (while the custom_vjp backward IS causal) must be impossible."""
+    q = jnp.zeros((1, 128, 1, 32))
+    with pytest.raises(NotImplementedError, match="causal"):
+        fa.flash_attention(q, q, q, is_causal=True, interpret=True)

@@ -96,3 +96,13 @@ def test_tp_forward_matches_replicated():
     got = apply(sharded, x, t, ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_mesh_spec_rejects_nonpositive_sizes():
+    from polyp_tpu.parallel.mesh import mesh_from_spec
+
+    with pytest.raises(ValueError, match="axis size"):
+        mesh_from_spec("data=-2")
+    with pytest.raises(ValueError, match="axis size"):
+        mesh_from_spec("data=0")
+    assert mesh_from_spec("data=-1").shape["data"] == len(jax.devices())

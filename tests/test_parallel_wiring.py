@@ -243,3 +243,58 @@ class TestQuantizedShardedSampling:
         # flips int8 rounding on near-tie values — bounded, not bitwise.
         np.testing.assert_allclose(a, b, rtol=0.05, atol=0.02)
         assert np.abs(a - b).mean() < 2e-3
+
+
+class TestMultiHostBatchCoherence:
+    """Multi-host semantics of Loader (simulated — this host is one process):
+    when the mesh spans processes, hosts must NOT stride whole batches
+    (each global SPMD step would otherwise mix different hosts' batches,
+    dropping (pc-1)/pc of the data); striding remains for independent
+    per-host training without a cross-process mesh."""
+
+    def _loader(self, mesh, **kw):
+        from polyp_tpu.data.pipeline import Loader
+
+        images = np.arange(32 * 2 * 2 * 3, dtype=np.uint8).reshape(32, 2, 2, 3)
+        labels = np.arange(32, dtype=np.int64) % 3
+        return Loader(images, labels, 8, shuffle=False, mesh=mesh,
+                      process_shard=True, **kw)
+
+    def test_cross_process_mesh_disables_striding(self, monkeypatch):
+        mesh = make_mesh({"data": 8})
+        loader = self._loader(mesh)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        monkeypatch.setattr(type(loader), "_mesh_spans_processes",
+                            lambda self: True)
+        # all 4 batches belong to every host's stream — no 1/pc truncation
+        assert len(loader) == 4
+        batches = list(loader._host_batches())
+        assert len(batches) == 4
+        np.testing.assert_array_equal(batches[0][1], np.arange(8) % 3)
+
+    def test_no_mesh_keeps_per_host_striding(self, monkeypatch):
+        loader = self._loader(None)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        assert len(loader) == 2  # 4 batches / 2 hosts
+        batches = list(loader._host_batches())
+        assert len(batches) == 2
+        # host 1 takes the strided slice [1::2] -> batches 1 and 3
+        np.testing.assert_array_equal(batches[0][1], (np.arange(8, 16)) % 3)
+
+    def test_shardwise_assembly_matches_device_put(self):
+        """Single-process equivalence: the make_array_from_callback path
+        yields the same global arrays as shard_batch's device_put."""
+        mesh = make_mesh({"data": 8})
+        loader = self._loader(mesh)
+        # force the shard-wise assembly path
+        loader._mesh_spans_processes = lambda: True
+        got = next(iter(loader))
+        from polyp_tpu.parallel.mesh import shard_batch
+
+        loader2 = self._loader(mesh)
+        want = next(iter(loader2))
+        for g, w in zip(got, want):
+            assert len(g.sharding.device_set) == 8
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

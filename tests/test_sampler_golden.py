@@ -92,7 +92,8 @@ class TestDDIMGolden:
         factor = 1.0
         for i, t in enumerate(ts):
             a_t = abar[t]
-            a_p = abar[ts[i + 1]] if i + 1 < steps else 1.0
+            # SD-v1 set_alpha_to_one=False: final step uses ᾱ₀
+            a_p = abar[ts[i + 1]] if i + 1 < steps else abar[0]
             # eq.12, η=0: x_prev = √ā_p·x̂₀ + √(1−ā_p)·ε̂
             # with ε̂=c·x: x̂₀ = x(1−√(1−ā_t)c)/√ā_t
             f = (np.sqrt(a_p) * (1 - np.sqrt(1 - a_t) * c) / np.sqrt(a_t)
