@@ -86,13 +86,19 @@ class Loader:
             validate_batch_for_mesh(batch_size, mesh)
         self.process_shard = process_shard
         self._rng = np.random.default_rng(seed)
+        # Fixed for the Loader's lifetime — computed once, not per batch.
+        # When True, every host participates in the same global SPMD step,
+        # so hosts must feed the SAME global batch (assembled shard-wise in
+        # __iter__) — strided whole-batch sharding would make each global
+        # step a mixture of different hosts' batches, silently dropping
+        # (pc-1)/pc of the data. Per-host striding stays for independent
+        # training (process_shard without a cross-process mesh).
+        self._spans_processes = self._mesh_spans_processes()
+        self._stride_hosts = (process_shard and jax.process_count() > 1
+                              and not self._spans_processes)
 
     def _mesh_spans_processes(self) -> bool:
-        """True when `mesh` includes devices of OTHER processes: every host
-        then participates in the same global SPMD step, so hosts must feed
-        the SAME global batch (assembled shard-wise below) — strided
-        whole-batch sharding would make each global step a mixture of
-        different hosts' batches, silently dropping (pc-1)/pc of the data."""
+        """Does `mesh` include devices of OTHER processes?"""
         if self.mesh is None or jax.process_count() == 1:
             return False
         me = jax.process_index()
@@ -101,8 +107,7 @@ class Loader:
     def __len__(self) -> int:
         n = len(self.labels)
         total = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
-        if self.process_shard and jax.process_count() > 1 \
-                and not self._mesh_spans_processes():
+        if self._stride_hosts:
             # every host runs the same (truncated) number of steps — see
             # _host_batches; with_schedule step counts must match reality.
             return total // jax.process_count()
@@ -112,14 +117,10 @@ class Loader:
         n = len(self.labels)
         batches = epoch_batches(n, self.batch_size, self._rng, self.shuffle,
                                 self.drop_last, self.weights)
-        if self.process_shard and jax.process_count() > 1 \
-                and not self._mesh_spans_processes():
+        if self._stride_hosts:
             # Independent per-host training (no cross-process mesh): each
             # host takes a disjoint strided slice of the epoch, truncated to
             # a multiple of process_count so step counts agree across hosts.
-            # (With a cross-process mesh the striding is SKIPPED: every host
-            # iterates the identical seeded stream and the global batch is
-            # assembled shard-wise in __iter__.)
             pc = jax.process_count()
             batches = batches[: (len(batches) // pc) * pc]
             batches = batches[jax.process_index()::pc]
@@ -134,7 +135,7 @@ class Loader:
     def __iter__(self) -> Iterator[tuple[jax.Array, jax.Array, jax.Array]]:
         pending = None
         for host_batch in self._host_batches():
-            if self._mesh_spans_processes():
+            if self._spans_processes:
                 # every host holds the identical full batch (same seed, no
                 # striding); each contributes exactly its addressable shards.
                 from polyp_tpu.parallel.mesh import data_sharding

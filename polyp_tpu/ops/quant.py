@@ -96,7 +96,7 @@ def quantize_weight(w: jax.Array,
     `reduce_axes` are the non-output axes (e.g. (0,1,2) for HWIO conv
     kernels, (0,) for [in,out] dense kernels). Returns (int8 weights,
     fp32 scales broadcast-shaped like w with output axes kept)."""
-    w32 = w.astype(jnp.float32)
+    w32 = _inference_only(w).astype(jnp.float32)
     amax = jnp.max(jnp.abs(w32), axis=tuple(reduce_axes), keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     wq = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)

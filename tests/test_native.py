@@ -165,8 +165,7 @@ class TestNativeTIFF:
         from polyp_tpu.data import native
 
         h, w = 5, 7
-        pixels = bytes(range(h * w * 3 % 256)) * 0 + bytes(
-            (i * 7) % 256 for i in range(h * w * 3))
+        pixels = bytes((i * 7) % 256 for i in range(h * w * 3))
         # classic little-endian TIFF: header, pixel strip, then the IFD
         strip_off = 8
         ifd_off = strip_off + len(pixels)

@@ -261,12 +261,13 @@ class TestMultiHostBatchCoherence:
                       process_shard=True, **kw)
 
     def test_cross_process_mesh_disables_striding(self, monkeypatch):
+        from polyp_tpu.data.pipeline import Loader
+
         mesh = make_mesh({"data": 8})
-        loader = self._loader(mesh)
         monkeypatch.setattr(jax, "process_count", lambda: 2)
         monkeypatch.setattr(jax, "process_index", lambda: 0)
-        monkeypatch.setattr(type(loader), "_mesh_spans_processes",
-                            lambda self: True)
+        monkeypatch.setattr(Loader, "_mesh_spans_processes", lambda self: True)
+        loader = self._loader(mesh)
         # all 4 batches belong to every host's stream — no 1/pc truncation
         assert len(loader) == 4
         batches = list(loader._host_batches())
@@ -274,9 +275,9 @@ class TestMultiHostBatchCoherence:
         np.testing.assert_array_equal(batches[0][1], np.arange(8) % 3)
 
     def test_no_mesh_keeps_per_host_striding(self, monkeypatch):
-        loader = self._loader(None)
         monkeypatch.setattr(jax, "process_count", lambda: 2)
         monkeypatch.setattr(jax, "process_index", lambda: 1)
+        loader = self._loader(None)
         assert len(loader) == 2  # 4 batches / 2 hosts
         batches = list(loader._host_batches())
         assert len(batches) == 2
@@ -289,7 +290,7 @@ class TestMultiHostBatchCoherence:
         mesh = make_mesh({"data": 8})
         loader = self._loader(mesh)
         # force the shard-wise assembly path
-        loader._mesh_spans_processes = lambda: True
+        loader._spans_processes = True
         got = next(iter(loader))
         from polyp_tpu.parallel.mesh import shard_batch
 

@@ -178,3 +178,12 @@ def test_quantized_path_refuses_gradients():
     w = jax.random.normal(jax.random.PRNGKey(1), (64, 64)) * 0.1
     with pytest.raises(NotImplementedError, match="inference-only"):
         jax.grad(lambda x: jnp.sum(quant.w8a8_dense(x, w, jnp.float32)))(x)
+
+
+def test_weight_differentiation_also_refused():
+    """Differentiating w.r.t. the WEIGHTS through the quantized path (the
+    merged-LoRA-kernel case) must raise too, not return near-zero garbage."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64)) * 0.5
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 64)) * 0.1
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(lambda w_: jnp.sum(quant.w8a8_dense(x, w_, jnp.float32)))(w)
