@@ -50,3 +50,17 @@ def synth_polyp_dir(tmp_path):
     csv_path.write_text("image_id,cls\n" + "\n".join(f"{a},{b}" for a, b in rows) + "\n")
     return {"image_dir": img_dir, "mask_dir": mask_dir, "csv": csv_path,
             "classes": classes}
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Long single-process runs of the compile-heavy suite accumulate live
+    CPU executables until jaxlib segfaults/aborts inside a late pjit compile
+    (observed at >200 tests on this host). Dropping compiled-computation
+    caches at module boundaries bounds that accumulation; the persistent
+    on-disk cache keeps repeat compiles cheap."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
