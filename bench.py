@@ -30,20 +30,27 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-def _reference_cpu_samples_per_sec() -> float:
-    """Measured torch-CPU reference throughput (see module docstring).
-    Falls back to the vendored measurement from this host (0.007655
-    samples/sec, 1 thread) if the JSON is missing."""
+def _reference_baseline() -> tuple[float, int]:
+    """Measured torch-CPU reference throughput and the thread count it was
+    measured with (see module docstring). Falls back to the vendored
+    measurement from this host (0.007655 samples/sec, 1 thread) if the JSON
+    is missing."""
     import pathlib
 
     p = pathlib.Path(__file__).parent / "tools" / "reference_baseline.json"
     try:
-        return float(json.loads(p.read_text())["torch_cpu_samples_per_sec"])
+        d = json.loads(p.read_text())
+        return float(d["torch_cpu_samples_per_sec"]), int(d.get("threads", 1))
     except Exception:
-        return 0.007655
+        return 0.007655, 1
 
 
-REFERENCE_CPU_SAMPLES_PER_SEC = _reference_cpu_samples_per_sec()
+REFERENCE_CPU_SAMPLES_PER_SEC, REFERENCE_CPU_THREADS = _reference_baseline()
+# A realistic reference deployment is a multi-core node, not this 1-core
+# bench host. 16 cores with PERFECT linear scaling is an upper bound on the
+# baseline's throughput, so the ratio against it is a defensible LOWER
+# bound on the speedup — both numbers travel in the JSON line.
+REFERENCE_NORMALIZED_CORES = 16
 
 
 def bench_sampling(batch_size: int, image_size: int, steps: int,
@@ -251,6 +258,12 @@ def main():
         "value": round(value, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(value / REFERENCE_CPU_SAMPLES_PER_SEC, 2),
+        "baseline_threads": REFERENCE_CPU_THREADS,
+        # lower bound: baseline scaled with perfect linearity to a
+        # REFERENCE_NORMALIZED_CORES-core host (see constant above)
+        f"vs_baseline_{REFERENCE_NORMALIZED_CORES}core_bound": round(
+            value / (REFERENCE_CPU_SAMPLES_PER_SEC
+                     * REFERENCE_NORMALIZED_CORES / REFERENCE_CPU_THREADS), 2),
     }
     if args.train:
         out["classifier_train_images_per_sec"] = round(

@@ -25,14 +25,24 @@ namespace {
 struct Reader {
   std::vector<uint8_t> data;
   bool big_endian = false;
+  // Sticky out-of-bounds marker: any read past the file poisons the parse,
+  // so truncated/corrupt files fail (→ PIL fallback) instead of decoding
+  // from silently-zero header values.
+  mutable bool oob = false;
 
   uint16_t u16(size_t off) const {
-    if (off + 2 > data.size()) return 0;
+    if (off + 2 > data.size()) {
+      oob = true;
+      return 0;
+    }
     return big_endian ? (data[off] << 8) | data[off + 1]
                       : (data[off + 1] << 8) | data[off];
   }
   uint32_t u32(size_t off) const {
-    if (off + 4 > data.size()) return 0;
+    if (off + 4 > data.size()) {
+      oob = true;
+      return 0;
+    }
     return big_endian
                ? ((uint32_t)data[off] << 24) | ((uint32_t)data[off + 1] << 16) |
                      ((uint32_t)data[off + 2] << 8) | data[off + 3]
@@ -59,8 +69,15 @@ int type_size(uint16_t t) {
   }
 }
 
-// Read the i-th integer value of an entry (SHORT or LONG).
+// Read the i-th integer value of an entry. Every integer tag consumed here
+// is SHORT(3) or LONG(4) per the TIFF6 spec; any other type (BYTE, SSHORT,
+// rationals, …) is rejected rather than misread as u32, and out-of-range
+// indices/offsets poison the Reader's sticky oob flag.
 uint32_t entry_value(const Reader& r, const Entry& e, uint32_t i) {
+  if ((e.type != 3 && e.type != 4) || i >= e.count) {
+    r.oob = true;
+    return 0;
+  }
   int ts = type_size(e.type);
   size_t total = (size_t)ts * e.count;
   size_t base = total <= 4 ? e.value_off : r.u32(e.value_off);
@@ -206,6 +223,7 @@ int polyp_tiff_decode(const char* path, uint8_t* dst, int64_t dst_capacity,
       default: break;
     }
   }
+  if (r.oob) return 20;  // mistyped or out-of-range IFD entry
   if (width == 0 || height == 0 || strip_offsets.tag == 0) return 7;
   if (planar != 1) return 8;                       // chunky only
   if (spp != 1 && spp != 3 && spp != 4) return 9;  // gray/RGB/RGBA
@@ -214,7 +232,7 @@ int polyp_tiff_decode(const char* path, uint8_t* dst, int64_t dst_capacity,
   if (predictor != 1 && predictor != 2) return 12;
   if (bits_entry.tag != 0)
     for (uint32_t i = 0; i < bits_entry.count && i < spp; i++)
-      if (entry_value(r, bits_entry, i) != 8) return 13;  // 8-bit only
+      if (entry_value(r, bits_entry, i) != 8 || r.oob) return 13;  // 8-bit only
 
   *out_h = (int32_t)height;
   *out_w = (int32_t)width;
@@ -238,7 +256,7 @@ int polyp_tiff_decode(const char* path, uint8_t* dst, int64_t dst_capacity,
     size_t off = entry_value(r, strip_offsets, s);
     size_t cnt = strip_counts.tag ? entry_value(r, strip_counts, s)
                                   : expect;
-    if (off + cnt > r.data.size()) return 16;
+    if (r.oob || off + cnt > r.data.size()) return 16;
     const uint8_t* src = r.data.data() + off;
     if (compression == 1) {
       if (cnt < expect) return 17;

@@ -14,6 +14,8 @@ surfaces as the reference's PEFT configs (config_diffusion.py:34-37).
 from __future__ import annotations
 
 import math
+from typing import Sequence
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -84,7 +86,9 @@ class QConv(nn.Module):
     features: int
     kernel_size: tuple[int, int]
     strides: int | tuple[int, int] = 1
-    padding: str | tuple = "SAME"
+    # str ("SAME"/"VALID") or per-spatial-dim (lo, hi) pairs, e.g.
+    # [(1, 1), (1, 1)] — the list-of-pairs form Downsample2D passes.
+    padding: str | Sequence[tuple[int, int]] = "SAME"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -33,7 +33,12 @@ def use_fused_mha(x: jax.Array, ctx: jax.Array, num_heads: int,
     it was built to eliminate were already removed by the round-2 flash
     block tuning, and its per-head (C×64) projections run at lower MXU
     occupancy than XLA's single (C×C) dots. Kept as a validated op for
-    shapes where standalone-flash pre/post copies reappear."""
+    shapes where standalone-flash pre/post copies reappear.
+
+    **Trace-time flag** (same contract as quant.override): POLYP_FUSED_MHA
+    and set_attention_backend are read while the model function is being
+    traced — a function jitted before the flag changed keeps the dispatch
+    it was traced with; re-jit (or clear jax caches) after changing it."""
     if _BACKEND == "xla" or os.environ.get("POLYP_FUSED_MHA", "0") != "1":
         return False
     if not is_self:

@@ -225,8 +225,12 @@ def _fused_mha_impl(x, ctx, wq, wk, wv, wo, *, num_heads, head_dim,
     block_q = math.gcd(min(block_q, tq), tq)
     if tq % block_q or block_q % 128:
         raise ValueError(f"block_q {block_q} incompatible with tq {tq}")
-    tk_pad = _round_up(tk, min(block_k, _round_up(tk, 128)))
-    block_k = min(block_k, tk_pad)
+    # pad KV to the next lane multiple only, then shrink block_k to a
+    # divisor of that padded length (gcd keeps 128-alignment, mirroring the
+    # block_q logic) — padding to a block_k multiple instead would waste
+    # masked compute on e.g. tk=1100 → 2048 rather than 1152.
+    tk_pad = _round_up(tk, 128)
+    block_k = math.gcd(min(block_k, tk_pad), tk_pad)
     if tk_pad != tk:
         ctx = jnp.pad(ctx, ((0, 0), (0, tk_pad - tk), (0, 0)))
     num_k = tk_pad // block_k

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import torch
@@ -209,14 +210,19 @@ def main():
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--num-inference-steps", type=int, default=25,
                     help="the reference's step count (:74)")
+    ap.add_argument("--threads", type=int, default=os.cpu_count(),
+                    help="torch intra-op threads (default: all cores, so a "
+                    "multi-core host measures its own realistic baseline)")
     args = ap.parse_args()
 
+    torch.set_num_threads(args.threads)
     torch.manual_seed(0)
     torch.set_grad_enabled(False)
     latent = args.image_size // 8
     unet = TorchSDUNet().eval()
     n_params = sum(p.numel() for p in unet.parameters())
-    assert abs(n_params - 859_520_964) < 1e6, n_params  # architecture check
+    # exact architecture check: the real SD-v1-4 UNet2DConditionModel total
+    assert n_params == 859_520_964, n_params
 
     x = torch.randn(2, 4, latent, latent)      # CFG pair for ONE image
     temb = torch.randn(2, 320)
