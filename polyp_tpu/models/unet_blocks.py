@@ -259,8 +259,11 @@ class FeedForward(nn.Module):
         w2, b2 = _ProjParams(dim * self.mult, dim, name="ff_net_2")()
         hidden = quant.maybe_quantized_dense(x, w0, b0, self.dtype)
         a, gate = jnp.split(hidden, 2, axis=-1)
-        return quant.maybe_quantized_dense(a * nn.gelu(gate), w2, b2,
-                                           self.dtype)
+        # exact (erf) gelu: diffusers GEGLU calls F.gelu, which is erf-form;
+        # flax's default tanh approximation deviates ~1e-3 — caught by
+        # tests/test_torch_block_goldens.py
+        return quant.maybe_quantized_dense(
+            a * nn.gelu(gate, approximate=False), w2, b2, self.dtype)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -317,15 +320,23 @@ class Transformer2D(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Stride-2 3×3 conv downsample. Two padding conventions exist in
+    diffusers and they are NOT value-equivalent (the window phase differs):
+    the UNet's Downsample2D pads symmetrically (downsample_padding=1), the
+    VAE Encoder's pads (0,1,0,1) then convs VALID (`padding=0` →
+    asymmetric). `asymmetric=True` selects the VAE convention — required
+    for value parity with imported AutoencoderKL weights
+    (tests/test_torch_block_goldens.py)."""
+
     out_channels: int
+    asymmetric: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        # diffusers pads (0,1,0,1) then convs with VALID; SAME on even sizes
-        # is equivalent for stride-2 3×3.
+        pad = [(0, 1), (0, 1)] if self.asymmetric else [(1, 1), (1, 1)]
         return QConv(self.out_channels, (3, 3), strides=2,
-                     padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                     padding=pad, dtype=self.dtype,
                      name="conv")(x)
 
 

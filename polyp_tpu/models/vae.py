@@ -61,7 +61,9 @@ class Encoder(nn.Module):
                 h = ResnetBlock2D(c, use_time_emb=False, eps=1e-6,
                                   dtype=self.dtype, name=f"down_{i}_res_{j}")(h)
             if i < len(ch) - 1:
-                h = Downsample2D(c, dtype=self.dtype,
+                # diffusers VAE Encoder downsampling pads (0,1,0,1)+VALID,
+                # not the UNet's symmetric padding (see Downsample2D)
+                h = Downsample2D(c, asymmetric=True, dtype=self.dtype,
                                  name=f"down_{i}_downsample")(h)
         h = ResnetBlock2D(ch[-1], use_time_emb=False, eps=1e-6,
                           dtype=self.dtype, name="mid_res_0")(h)

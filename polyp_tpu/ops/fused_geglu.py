@@ -42,7 +42,7 @@ def _geglu_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
                             preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
     a, gate = jnp.split(h, 2, axis=-1)
-    g = a * jax.nn.gelu(gate)
+    g = a * jax.nn.gelu(gate, approximate=False)
     out = jax.lax.dot_general(g.astype(x.dtype), w2_ref[...],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -89,4 +89,4 @@ def reference_geglu(x, w1, b1, w2, b2):
     """Plain XLA reference (identical math)."""
     h = x @ w1 + b1
     a, gate = jnp.split(h, 2, axis=-1)
-    return (a * jax.nn.gelu(gate)) @ w2 + b2
+    return (a * jax.nn.gelu(gate, approximate=False)) @ w2 + b2
