@@ -83,12 +83,22 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
 
     schedule = DiffusionSchedule.create(1000, "scaled_linear", 0.00085, 0.012)
 
+    scales = None
+    if quantize == "w8a8_static":
+        from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
+        t0 = time.perf_counter()
+        scales = calibrate_unet_scales(unet, uparams, schedule,
+                                       (2, latent, latent, 4), cond, uncond,
+                                       num_steps=8)
+        print(f"# calibrated {len(scales)} scales in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
     # params/embeddings MUST be jit *arguments*: closing over them embeds
     # 860M weights as HLO constants and compile time explodes.
     @jax.jit
     def generate(uparams, vparams, cond, uncond, key):
         def raw_fn(z, tt, emb):
-            with quant.override(quantize):
+            with quant.override(quantize, scales=scales):
                 return unet.apply({"params": uparams}, z, tt, emb)
 
         model_fn = with_cfg(raw_fn, cond, uncond, 7.5)
@@ -244,7 +254,7 @@ def main():
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--train-diffusion", action="store_true")
-    parser.add_argument("--quantize", default=None, choices=["w8a8"],
+    parser.add_argument("--quantize", default=None, choices=["w8a8", "w8a8_static"],
                         help="W8A8 UNet sampling (ops/quant.py); default off")
     args = parser.parse_args()
 
@@ -265,6 +275,19 @@ def main():
             value / (REFERENCE_CPU_SAMPLES_PER_SEC
                      * REFERENCE_NORMALIZED_CORES / REFERENCE_CPU_THREADS), 2),
     }
+    if args.quantize is None and not args.quick:
+        # companion number on the SAME line (bf16 stays the parsed
+        # headline until w8a8 quality parity is demonstrated — see
+        # BASELINE.md quantization section); best known quant config is
+        # batch 16 (round-2 sweep).
+        try:
+            q = bench_sampling(max(args.batch, 16), args.image_size,
+                               args.steps, args.sampler, args.quick,
+                               quantize="w8a8_static")
+            out["w8a8_static_value"] = round(q["samples_per_sec"], 4)
+            out["w8a8_batch"] = q["batch_size"]
+        except Exception as e:  # never sink the headline metric
+            out["w8a8_static_error"] = f"{type(e).__name__}: {e}"[:200]
     if args.train:
         out["classifier_train_images_per_sec"] = round(
             bench_classifier_train()["train_images_per_sec"], 2)

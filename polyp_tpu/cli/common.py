@@ -43,7 +43,7 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--tracker-root", type=str, default="mlruns_local")
     parser.add_argument("--experiment-name", type=str, default=None)
     parser.add_argument("--quantize", type=str, default=None,
-                        choices=["w8a8"],
+                        choices=["w8a8", "w8a8_static"],
                         help="quantized UNet sampling (int8 MXU path, "
                              "ops/quant.py); training is never quantized")
     parser.add_argument("--mesh", type=str, default=None,

@@ -71,6 +71,10 @@ def main(argv=None):
                                     mesh=get_mesh_from(args))
     out = {k: round(metrics[k], 4)
            for k in ("accuracy", "precision", "recall", "f1_score")}
+    if metrics.get("frechet") and metrics["frechet"]["per_class"]:
+        out["frechet"] = {c: round(v, 4)
+                          for c, v in metrics["frechet"]["per_class"].items()}
+        out["frechet_extractor"] = metrics["frechet"]["extractor"]
     print(json.dumps(out))
     cm_path = Path(args.path_model) / "confusion_matrix_augmented.png"
     plot_confusion_matrix(metrics["confusion_matrix"], metrics["labels"],

@@ -35,6 +35,8 @@ def main(argv=None):
     parser.add_argument("--num_epochs", type=int, default=200)
     parser.add_argument("--image_size", type=int, default=256)  # :125 override
     parser.add_argument("--lora_rank", type=int, default=4)  # :142-149
+    parser.add_argument("--eval_batch_size", type=int, default=20)
+    parser.add_argument("--num_inference_steps", type=int, default=25)
     parser.add_argument("--pretrained-dir", type=str, default=None)
     parser.add_argument("--tiny", action="store_true",
                         help="miniature SD stack (smoke/CI)")
@@ -46,6 +48,8 @@ def main(argv=None):
                              num_epochs=args.num_epochs,
                              lora_rank=args.lora_rank, lora_alpha=args.lora_rank,
                              lora_dropout=0.0,
+                             eval_batch_size=args.eval_batch_size,
+                             num_inference_steps=args.num_inference_steps,
                              output_dir=args.output_dir,
                              experiment_name="generator_model")
     layout = DataLayout(Path(args.data_root))

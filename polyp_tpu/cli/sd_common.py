@@ -307,4 +307,16 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
                              title="Training Loss over Epochs")
         tracker.log_artifact(loss_png)
         log_sample_images(tracker, folder / "samples" / cls, cls)
+        if n_generate >= 2 and len(data) >= 2:
+            # per-run fidelity signal: Fréchet distance between this class's
+            # real images (the training set just used) and its generated
+            # samples — uncalibrated until ImageNet weights exist
+            # (eval/fid.py docstring)
+            from polyp_tpu.eval import fid as fid_mod
+            extractor = fid_mod.efficientnet_extractor(cfg.image_size)
+            fake = fid_mod.load_image_dir(folder / "samples" / cls,
+                                          cfg.image_size)
+            val = fid_mod.frechet_from_arrays(data.images, fake, extractor)
+            tracker.log_param("frechet_extractor", extractor.name)
+            tracker.log_metric(f"frechet_{cls}", round(val, 4))
     print(f"Training for class {cls} finished and images generated\n")

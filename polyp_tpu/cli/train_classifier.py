@@ -67,6 +67,9 @@ def main(argv=None):
     parser.add_argument("--learning_rate", type=float, default=1e-3)
     parser.add_argument("--weight_decay", type=float, default=1e-3)
     parser.add_argument("--hidden_features", type=int, default=256)
+    parser.add_argument("--variant", type=str, default="b0",
+                        help="EfficientNet family member b0..b7 "
+                             "(reference pins b0)")
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--dropout", type=float, default=0.5)
     parser.add_argument("--num_epochs", type=int, default=100)
@@ -85,6 +88,7 @@ def main(argv=None):
         num_epochs=args.num_epochs, patience=args.patience,
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         hidden_features=args.hidden_features, dropout=args.dropout,
+        variant=args.variant,
         weighted_sampling=args.weighted_sampling,
         weighted_loss=args.weighted_loss, one_vs_rest=args.one_vs_all)
 

@@ -36,7 +36,7 @@ from polyp_tpu.models import (
     VIT_B32_TEXT_CONFIG,
     load_tokenizer,
 )
-from polyp_tpu.models.unet2d import polyp_scratch_unet
+from polyp_tpu.models.unet2d import polyp_scratch_unet, tiny_scratch_unet
 from polyp_tpu.pipeline import PixelDiffusionSampler, generate_to_dir
 from polyp_tpu.train.scratch_ddpm import create_ddpm_state, train_scratch_ddpm
 from polyp_tpu.utils.checkpoint import save_pytree
@@ -64,6 +64,8 @@ def main(argv=None):
     parser.add_argument("--output-dir", type=str, default=None)
     parser.add_argument("--text-encoder-dir", type=str, default=None,
                         help="local clip-vit-base-patch32 dir (optional)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="miniature scratch UNet (smoke/CI)")
     args = parser.parse_args(argv)
 
     config = DiffusionConfig(
@@ -139,7 +141,8 @@ def main(argv=None):
                                   "a high-resolution endoscopic image of x polyp")
                 print(prompt)
 
-            model = polyp_scratch_unet(cross_attention_dim=ctx_dim)
+            model = (tiny_scratch_unet if args.tiny else polyp_scratch_unet)(
+                cross_attention_dim=ctx_dim)
             state = create_ddpm_state(cfg, model, jax.random.PRNGKey(cfg.seed),
                                       context_dim=ctx_dim)
             if mesh is not None:

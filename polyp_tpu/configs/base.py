@@ -102,8 +102,16 @@ class DiffusionConfig:
     def with_schedule(self, steps_per_epoch: int) -> "DiffusionConfig":
         """Derive the LR schedule lengths (warmup = lr_warmup_frac of total),
         the functional analogue of the in-place mutation at
-        train_with_lora_per_class.py:329-332."""
-        total = steps_per_epoch * self.num_epochs
+        train_with_lora_per_class.py:329-332.
+
+        With gradient accumulation (train_with_lora_all_classes.py:121-176)
+        the horizon counts EFFECTIVE optimizer updates, not micro-steps:
+        optax.MultiSteps advances the inner cosine schedule once per
+        accumulated update, so a micro-step horizon would leave the
+        schedule 1/N of the way through at the end of training
+        (tests/test_accumulation.py)."""
+        total = max(1, (steps_per_epoch * self.num_epochs)
+                    // max(1, self.accumulation_steps))
         return replace(
             self,
             total_train_steps=total,
@@ -125,6 +133,9 @@ class ClassificationConfig:
     weight_decay: float = 1e-3
     hidden_features: int = 256
     dropout: float = 0.5
+    # EfficientNet family b0..b7 (models/efficientnet.py VARIANTS; the
+    # reference pins b0, PolypClassificationModel.py:8) + "tiny" for smoke
+    variant: str = "b0"
     seed: int = 0
 
     weighted_sampling: bool = True

@@ -1,0 +1,91 @@
+"""Activation-scale calibration for W8A8-static quantized sampling.
+
+The round-2 profile census charged ≈2.3 ms/UNet-step to DYNAMIC activation
+quantization (a standalone amax reduction + clamp/convert pass per
+quantized op). With calibrated static scales the quantize collapses into
+the producing fusion's epilogue (ops/quant.py "w8a8_static"). This module
+produces those scales: it runs a short full-precision DDIM trajectory —
+the same activation distribution sampling sees, across the timestep range
+— under quant's "w8a8_calib" mode, which makes every quantizable layer sow
+its live activation amax into the "quant_stats" flax collection; the
+per-layer max over all trajectory points (± margin) becomes the scale.
+
+The reference has no analogue (no quantization at all); this is a
+TPU-native extra, consumed by the sampling CLIs via
+``--quantize w8a8_static``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polyp_tpu.diffusion.schedule import DiffusionSchedule
+from polyp_tpu.ops import quant
+
+
+def calibrate_unet_scales(
+    unet,
+    params,
+    schedule: DiffusionSchedule,
+    latent_shape: tuple[int, ...],
+    cond: jax.Array | None = None,
+    uncond: jax.Array | None = None,
+    key: jax.Array | None = None,
+    num_steps: int = 8,
+    guidance_scale: float = 7.5,
+    margin: float = 1.05,
+    dtype=jnp.bfloat16,
+) -> dict[str, float]:
+    """Per-layer activation scales for quant.override("w8a8_static").
+
+    Drives `unet` (a Flax module) along a `num_steps`-point DDIM
+    trajectory from pure noise, collecting each quantizable layer's
+    activation amax at every point (conditional AND unconditional branch
+    when `uncond` is given — CFG runs both; `cond=None` drives an
+    unconditional pixel model). `margin` head-rooms the observed amax;
+    values beyond it saturate to ±127, which int8 tolerates gracefully
+    for rare outliers."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if cond is not None:
+        dtype = cond.dtype
+    n = latent_shape[0]
+
+    @jax.jit
+    def calib_fwd(params, x, t, ctx):
+        with quant.override("w8a8_calib"):
+            args = (x, t) if ctx is None else (x, t, ctx)
+            out, variables = unet.apply({"params": params}, *args,
+                                        mutable=["quant_stats"])
+        return out, variables["quant_stats"]
+
+    def bcast(emb):
+        return (None if emb is None
+                else jnp.broadcast_to(emb, (n,) + emb.shape[-2:]))
+
+    T = schedule.num_train_timesteps
+    ts = np.unique(np.linspace(T - 1, 0, num_steps).round().astype(np.int64))[::-1]
+    abar = np.asarray(schedule.alphas_cumprod, np.float64)
+    x = jax.random.normal(key, latent_shape, dtype)
+
+    stats = []
+    for i, t in enumerate(ts):
+        tt = jnp.full((n,), int(t), jnp.int32)
+        eps_c, s = calib_fwd(params, x, tt, bcast(cond))
+        stats.append(s)
+        if uncond is not None:
+            eps_u, s = calib_fwd(params, x, tt, bcast(uncond))
+            stats.append(s)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+        else:
+            eps = eps_c
+        if i + 1 < len(ts):
+            # deterministic DDIM move to the next calibration timestep
+            a_t, a_n = abar[int(t)], abar[int(ts[i + 1])]
+            eps32 = eps.astype(jnp.float32)
+            x32 = x.astype(jnp.float32)
+            x0 = (x32 - np.sqrt(1.0 - a_t) * eps32) / np.sqrt(a_t)
+            x = (np.sqrt(a_n) * x0
+                 + np.sqrt(1.0 - a_n) * eps32).astype(dtype)
+    return quant.scales_from_stats(stats, margin)

@@ -21,6 +21,7 @@ FeatureExtractor and the numbers become standard FID.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Sequence
@@ -70,10 +71,18 @@ class FeatureExtractor:
     def __call__(self, images_u8: np.ndarray, batch_size: int = 32) -> np.ndarray:
         outs = []
         for i in range(0, len(images_u8), batch_size):
-            outs.append(np.asarray(self.fn(images_u8[i:i + batch_size])))
+            chunk = images_u8[i:i + batch_size]
+            n = len(chunk)
+            if n < batch_size:
+                # pad the tail chunk to the fixed batch size so the jitted
+                # extractor compiles ONE shape, then trim
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], batch_size - n, axis=0)])
+            outs.append(np.asarray(self.fn(chunk))[:n])
         return np.concatenate(outs, axis=0)
 
 
+@functools.lru_cache(maxsize=4)
 def efficientnet_extractor(image_size: int = 224,
                            torch_weights: str | None = None,
                            seed: int = 0) -> FeatureExtractor:
@@ -113,12 +122,15 @@ def efficientnet_extractor(image_size: int = 224,
                             calibrated=calibrated)
 
 
-def _load_dir(d: str | Path, image_size: int,
-              exts: Sequence[str] = (".png", ".tif", ".jpg")) -> np.ndarray:
+def load_image_dir(d: str | Path, image_size: int,
+                   exts: Sequence[str] = (".png", ".tif", ".jpg")) -> np.ndarray:
     paths = sorted(p for p in Path(d).iterdir() if p.suffix in exts)
     if not paths:
         raise ValueError(f"no images in {d}")
     return np.stack([load_preprocessed(p, image_size) for p in paths])
+
+
+_load_dir = load_image_dir  # back-compat alias
 
 
 def fid_between_dirs(real_dir: str | Path, fake_dir: str | Path,
@@ -136,4 +148,52 @@ def fid_between_dirs(real_dir: str | Path, fake_dir: str | Path,
         "calibrated": extractor.calibrated,
         "n_real": len(real),
         "n_fake": len(fake),
+    }
+
+
+def frechet_from_arrays(real_u8: np.ndarray, fake_u8: np.ndarray,
+                        extractor: FeatureExtractor) -> float:
+    """Fréchet distance between two uint8 NHWC image stacks."""
+    mu_r, s_r = feature_statistics(extractor(real_u8))
+    mu_f, s_f = feature_statistics(extractor(fake_u8))
+    return frechet_distance(mu_r, s_r, mu_f, s_f)
+
+
+def class_frechet_distances(train_images_dir: str | Path,
+                            train_csv: str | Path,
+                            samples_root: str | Path,
+                            ad_vs_rest: bool = False,
+                            image_size: int = 224,
+                            extractor: FeatureExtractor | None = None,
+                            cache_dir: str | None = None) -> dict:
+    """Per-class fidelity of a generation run: Fréchet distance between the
+    real training images of each class and the generated `samples/{cls}`
+    directory — the logged per-run fidelity signal the reference approximates
+    only indirectly through the downstream F1
+    (test_diffusion_model.py:250-253). Uncalibrated (random-backbone
+    features) unless the extractor carries ImageNet weights — the result
+    dict says which."""
+    from polyp_tpu.data.cache import ArrayDataset
+    from polyp_tpu.data.tables import AugmentedTable
+
+    extractor = extractor or efficientnet_extractor(image_size)
+    real = ArrayDataset.from_table(
+        AugmentedTable.from_dirs([(train_images_dir, train_csv)], ad_vs_rest),
+        image_size, cache_dir)
+    by_class = {name: real.images[real.labels == idx]
+                for idx, name in real.idx2label.items()}
+
+    per_class: dict[str, float] = {}
+    for cls, real_imgs in sorted(by_class.items()):
+        d = Path(samples_root) / cls
+        if not d.exists() or len(real_imgs) < 2:
+            continue
+        fake = _load_dir(d, image_size)
+        if len(fake) < 2:
+            continue  # covariance needs ≥2 samples
+        per_class[cls] = frechet_from_arrays(real_imgs, fake, extractor)
+    return {
+        "per_class": per_class,
+        "extractor": extractor.name,
+        "calibrated": extractor.calibrated,
     }

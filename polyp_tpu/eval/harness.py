@@ -101,6 +101,18 @@ def run_augmentation_eval(
         def log(k, v, s):
             tracker.log_metric(k, v, s)
 
+    # Per-class generated-sample fidelity: Fréchet distance between real
+    # train images and samples/{cls} (eval/fid.py — uncalibrated random
+    # backbone until ImageNet weights are supplied; `frechet["calibrated"]`
+    # says which). The reference has no direct analogue — its only fidelity
+    # signal is the downstream F1 itself (test_diffusion_model.py:250-253).
+    frechet = None
+    if Path(dirs.samples_root).exists():
+        from polyp_tpu.eval.fid import class_frechet_distances
+        frechet = class_frechet_distances(
+            dirs.train_images, dirs.train_csv, dirs.samples_root,
+            ad_vs_rest, config.image_size, cache_dir=cache_dir)
+
     if tracker is not None and run_id is not None:
         with tracker.start_run(run_id=run_id):
             state, result = train_classifier(config, state, train_loader,
@@ -113,6 +125,10 @@ def run_augmentation_eval(
                 # reference logs 4-decimal strings (test_diffusion_model.py:250-253)
                 tracker.log_metric(key if key != "accuracy" else "test_accuracy",
                                    round(metrics[key], 4))
+            if frechet and frechet["per_class"]:
+                tracker.log_param("frechet_extractor", frechet["extractor"])
+                for cls, val in frechet["per_class"].items():
+                    tracker.log_metric(f"frechet_{cls}", round(val, 4))
     else:
         state, result = train_classifier(config, state, train_loader,
                                          val_loader, class_weights, log)
@@ -120,5 +136,7 @@ def run_augmentation_eval(
                              batch_stats=result.best_batch_stats)
         metrics = evaluate_classifier(best, test_loader, test.idx2label,
                                       config.mixed_precision)
+    if frechet is not None:
+        metrics["frechet"] = frechet
     metrics["train_size"] = len(train)
     return metrics

@@ -43,6 +43,9 @@ VARIANTS: dict[str, tuple[float, float, float]] = {
     "b0": (1.0, 1.0, 0.2), "b1": (1.0, 1.1, 0.2), "b2": (1.1, 1.2, 0.3),
     "b3": (1.2, 1.4, 0.3), "b4": (1.4, 1.8, 0.4), "b5": (1.6, 2.2, 0.4),
     "b6": (1.8, 2.6, 0.5), "b7": (2.0, 3.1, 0.5),
+    # miniature variant for tests/smoke/dryrun — NOT a torchvision model;
+    # same block taxonomy, ~1 block per stage, minimal widths
+    "tiny": (0.1, 0.1, 0.1),
 }
 
 

@@ -132,6 +132,17 @@ class UNet2D(nn.Module):
         return out
 
 
+def tiny_scratch_unet(cross_attention_dim: int | None = None,
+                      dtype: jnp.dtype = jnp.float32) -> UNet2D:
+    """Miniature scratch UNet for tests/smoke runs (same block taxonomy as
+    the reference architecture, 2 levels instead of 6)."""
+    return UNet2D(in_channels=3, out_channels=3, block_out_channels=(16, 32),
+                  down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+                  up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+                  layers_per_block=1, cross_attention_dim=cross_attention_dim,
+                  dtype=dtype)
+
+
 def polyp_scratch_unet(image_channels: int = 3,
                        cross_attention_dim: int | None = None,
                        dtype: jnp.dtype = jnp.bfloat16) -> UNet2D:

@@ -103,8 +103,14 @@ class QConv(nn.Module):
                    if isinstance(self.strides, int) else tuple(self.strides))
         padding = (self.padding if isinstance(self.padding, str)
                    else [tuple(p) for p in self.padding])
-        if quant.conv_quantizable(cin, self.features):
-            y = quant.w8a8_conv(x, kernel, strides, padding, self.dtype)
+        path = "/".join(self.scope.path)
+        if quant.calibrating() and min(cin, self.features) >= quant.MIN_QUANT_CHANNELS:
+            self.sow("quant_stats", "act_amax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum)
+        if quant.conv_quantizable(cin, self.features, path):
+            y = quant.w8a8_conv(x, kernel, strides, padding, self.dtype,
+                                quant.static_scale(path))
         else:
             dn = jax.lax.conv_dimension_numbers(
                 x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
@@ -204,16 +210,24 @@ class Attention(nn.Module):
                             num_heads=self.num_heads, head_dim=self.head_dim)
             return out + bo.astype(self.dtype)
 
-        def proj(h, w, b):
-            return quant.maybe_quantized_dense(h, w, b, self.dtype)
+        base = "/".join(self.scope.path)
+
+        def proj(h, w, b, name):
+            p = f"{base}/{name}"
+            if quant.calibrating() and min(w.shape) >= quant.MIN_QUANT_CHANNELS:
+                self.sow("quant_stats", f"{name}.act_amax",
+                         jnp.max(jnp.abs(h.astype(jnp.float32))),
+                         init_fn=lambda: jnp.float32(0.0),
+                         reduce_fn=jnp.maximum)
+            return quant.maybe_quantized_dense(h, w, b, self.dtype, p)
 
         n, tq = x.shape[0], x.shape[1]
         tk = ctx.shape[1]
-        q = proj(x, wq, bq).reshape(n, tq, self.num_heads, self.head_dim)
-        k = proj(ctx, wk, bk).reshape(n, tk, self.num_heads, self.head_dim)
-        v = proj(ctx, wv, bv).reshape(n, tk, self.num_heads, self.head_dim)
+        q = proj(x, wq, bq, "to_q").reshape(n, tq, self.num_heads, self.head_dim)
+        k = proj(ctx, wk, bk, "to_k").reshape(n, tk, self.num_heads, self.head_dim)
+        v = proj(ctx, wv, bv, "to_v").reshape(n, tk, self.num_heads, self.head_dim)
         out = dot_product_attention(q, k, v).reshape(n, tq, inner)
-        return proj(out, wo, bo)
+        return proj(out, wo, bo, "to_out")
 
 
 class SpatialSelfAttention(nn.Module):
@@ -257,13 +271,23 @@ class FeedForward(nn.Module):
         w0, b0 = _ProjParams(dim, dim * self.mult * 2,
                              name="ff_net_0_proj")()
         w2, b2 = _ProjParams(dim * self.mult, dim, name="ff_net_2")()
-        hidden = quant.maybe_quantized_dense(x, w0, b0, self.dtype)
+        base = "/".join(self.scope.path)
+
+        def proj(h, w, b, name):
+            if quant.calibrating() and min(w.shape) >= quant.MIN_QUANT_CHANNELS:
+                self.sow("quant_stats", f"{name}.act_amax",
+                         jnp.max(jnp.abs(h.astype(jnp.float32))),
+                         init_fn=lambda: jnp.float32(0.0),
+                         reduce_fn=jnp.maximum)
+            return quant.maybe_quantized_dense(h, w, b, self.dtype,
+                                               f"{base}/{name}")
+
+        hidden = proj(x, w0, b0, "ff_net_0_proj")
         a, gate = jnp.split(hidden, 2, axis=-1)
         # exact (erf) gelu: diffusers GEGLU calls F.gelu, which is erf-form;
         # flax's default tanh approximation deviates ~1e-3 — caught by
         # tests/test_torch_block_goldens.py
-        return quant.maybe_quantized_dense(
-            a * nn.gelu(gate, approximate=False), w2, b2, self.dtype)
+        return proj(a * nn.gelu(gate, approximate=False), w2, b2, "ff_net_2")
 
 
 class BasicTransformerBlock(nn.Module):

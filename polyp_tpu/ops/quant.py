@@ -1,4 +1,4 @@
-"""W8A8 dynamic quantization for the diffusion sampling path.
+"""W8A8 quantization for the diffusion sampling path.
 
 The v5e MXU runs s8×s8→s32 at 2× its bf16 rate; measured on the SD UNet's
 conv shapes the full chain (dynamic per-tensor activation quantization →
@@ -7,17 +7,30 @@ int8 conv → per-channel dequant epilogue) sustains 1.12–1.58× over bf16
 functional ops; `models/unet_blocks.py` (QConv / dense dispatch) consumes
 them.
 
+Three trace-time modes (`override(...)`):
+
+* ``"w8a8"`` — dynamic per-tensor activation scales (one amax reduction +
+  one quantize pass per op). Round-2 census: ≈2.3 ms/UNet-step of pure
+  overhead (1.6 ms clamp/convert re-read/write + 0.7 ms amax).
+* ``"w8a8_static"`` — calibrated per-layer scales passed via
+  ``override("w8a8_static", scales=...)``. The activation quantize becomes
+  a scale-multiply+clamp+convert that XLA fuses into the producing
+  GN/SiLU/conv fusion — no amax reduction and no standalone quantize pass,
+  which is the int8 tax the round-2 census identified.
+* ``"w8a8_calib"`` — calibration: ops run FULL precision while each
+  quantizable layer sows its activation amax into the ``"quant_stats"``
+  flax collection; `scales_from_stats` turns the collected tree into the
+  scales dict for the static mode (max over calibration points).
+
+`skip`/`only` select layers by path substring — the per-layer exclusion
+knob for the sensitivity sweep (tools/quant_sensitivity.py): `skip`
+excludes matching layers; `only` (when set) quantizes nothing BUT
+matching layers.
+
 Scope/semantics:
 * **Trace-time mode.** `quantization()` is read while a model function is
-  being traced, not per step. Enable it for exactly the region you want
-  quantized, e.g.::
-
-      def unet_fn(params, x, t, ctx):
-          with override("w8a8"):
-              return unet.apply({"params": params}, x, t, ctx)
-
-  Re-jit after changing the mode — an already-compiled function keeps the
-  mode it was traced with.
+  being traced, not per step. Re-jit after changing the mode — an
+  already-compiled function keeps the mode it was traced with.
 * **Inference only.** The rounding in the activation path has a zero
   gradient; trainers never enable the mode (and tests assert the default
   is off).
@@ -35,19 +48,27 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
-from typing import Literal, Sequence
+from typing import Any, Literal, Mapping, Sequence
 
 import jax
 import jax.numpy as jnp
 
-Mode = Literal["w8a8"] | None
+Mode = Literal["w8a8", "w8a8_static", "w8a8_calib"] | None
 
 _MODE: contextvars.ContextVar[Mode] = contextvars.ContextVar(
     "polyp_quantization_mode", default=None)
+_SCALES: contextvars.ContextVar[Mapping[str, float] | None] = \
+    contextvars.ContextVar("polyp_quantization_scales", default=None)
+_SKIP: contextvars.ContextVar[tuple[str, ...]] = contextvars.ContextVar(
+    "polyp_quantization_skip", default=())
+_ONLY: contextvars.ContextVar[tuple[str, ...] | None] = contextvars.ContextVar(
+    "polyp_quantization_only", default=None)
 
 # don't quantize thin layers (conv_in 4→320, conv_out →4, tiny test models):
 # no MXU win, pure accuracy noise.
 MIN_QUANT_CHANNELS = 64
+
+AMAX_SUFFIX = "/act_amax"  # sow name for calibration stats
 
 
 def quantization() -> Mode:
@@ -55,17 +76,79 @@ def quantization() -> Mode:
     return _MODE.get()
 
 
+def calibrating() -> bool:
+    return _MODE.get() == "w8a8_calib"
+
+
 @contextlib.contextmanager
-def override(mode: Mode):
+def override(mode: Mode, scales: Mapping[str, float] | None = None,
+             skip: Sequence[str] = (), only: Sequence[str] | None = None):
     """Set the quantization mode for a trace region (usable inside jit —
-    it runs at trace time)."""
-    if mode not in (None, "w8a8"):
+    it runs at trace time). `scales` is required for "w8a8_static";
+    `skip`/`only` filter layers by path substring."""
+    if mode not in (None, "w8a8", "w8a8_static", "w8a8_calib"):
         raise ValueError(f"unknown quantization mode: {mode!r}")
-    token = _MODE.set(mode)
+    if mode == "w8a8_static" and scales is None:
+        raise ValueError("w8a8_static needs calibrated scales "
+                         "(ops.quant.scales_from_stats); an empty dict is "
+                         "allowed and leaves every layer full-precision")
+    tokens = (_MODE.set(mode), _SCALES.set(scales),
+              _SKIP.set(tuple(skip)), _ONLY.set(
+                  tuple(only) if only is not None else None))
     try:
         yield
     finally:
-        _MODE.reset(token)
+        for var, tok in zip((_MODE, _SCALES, _SKIP, _ONLY), tokens):
+            var.reset(tok)
+
+
+def layer_selected(path: str | None) -> bool:
+    """Does the skip/only filter allow quantizing this layer?"""
+    if path is None:
+        return _ONLY.get() is None and not _SKIP.get()
+    only = _ONLY.get()
+    if only is not None and not any(p in path for p in only):
+        return False
+    return not any(p in path for p in _SKIP.get())
+
+
+def static_scale(path: str | None) -> jax.Array | None:
+    """The calibrated activation scale for a layer (static mode only)."""
+    scales = _SCALES.get()
+    if scales is None or path is None:
+        return None
+    val = scales.get(path)
+    return None if val is None else jnp.float32(val)
+
+
+def scales_from_stats(stats_trees: Sequence[Any],
+                      margin: float = 1.0) -> dict[str, float]:
+    """Fold one or more sown ``quant_stats`` collections (from calibration
+    forwards under "w8a8_calib" with ``mutable=["quant_stats"]``) into the
+    {layer_path: scale} dict the static mode consumes. Scale = max-over-
+    points amax × margin / 127."""
+    amax: dict[str, float] = {}
+    for tree in stats_trees:
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for keypath, value in flat:
+            parts = []
+            for k in keypath:
+                name = getattr(k, "key", None)
+                if name is None:
+                    continue  # tuple indices from sow's default accumulation
+                parts.append(str(name))
+            if not parts:
+                continue
+            leaf = parts[-1]
+            if leaf == "act_amax":           # QConv: sown at the conv's scope
+                path = "/".join(parts[:-1])
+            elif leaf.endswith(".act_amax"):  # dense: "<proj_name>.act_amax"
+                path = "/".join(parts[:-1] + [leaf[: -len(".act_amax")]])
+            else:
+                continue
+            v = float(jnp.max(jnp.asarray(value)))
+            amax[path] = max(amax.get(path, 0.0), v)
+    return {p: max(v * margin, 1e-12) / 127.0 for p, v in amax.items()}
 
 
 @jax.custom_vjp
@@ -103,12 +186,15 @@ def quantize_weight(w: jax.Array,
     return wq, scale
 
 
-def _quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Dynamic per-tensor symmetric int8 quantization (scale from the live
-    max-abs — one cheap VPU reduction per op)."""
+def _quantize_activation(x: jax.Array, scale: jax.Array | None = None
+                         ) -> tuple[jax.Array, jax.Array]:
+    """int8 activation quantization. With `scale` (static mode) this is one
+    fusable elementwise chain; without, the scale comes from the live
+    max-abs (one VPU reduction + a standalone quantize pass per op)."""
     x = _inference_only(x)
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.maximum(amax, 1e-12) / 127.0
+    if scale is None:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        scale = jnp.maximum(amax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
                   ).astype(jnp.int8)
     return xq, scale
@@ -116,11 +202,13 @@ def _quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def w8a8_conv(x: jax.Array, kernel: jax.Array,
               strides: Sequence[int], padding,
-              out_dtype: jnp.dtype) -> jax.Array:
-    """int8 NHWC/HWIO conv with dynamic activation scale and per-output-
-    channel weight scales; returns `out_dtype` (bias NOT applied)."""
+              out_dtype: jnp.dtype,
+              act_scale: jax.Array | None = None) -> jax.Array:
+    """int8 NHWC/HWIO conv with dynamic or static activation scale and
+    per-output-channel weight scales; returns `out_dtype` (bias NOT
+    applied)."""
     wq, sw = quantize_weight(kernel, (0, 1, 2))  # sw: [1,1,1,O]
-    xq, sa = _quantize_activation(x)
+    xq, sa = _quantize_activation(x, act_scale)
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(xq, wq, tuple(strides), padding,
@@ -131,35 +219,49 @@ def w8a8_conv(x: jax.Array, kernel: jax.Array,
 
 
 def w8a8_dense(x: jax.Array, kernel: jax.Array,
-               out_dtype: jnp.dtype) -> jax.Array:
-    """int8 [..., in] @ [in, out] with dynamic activation scale and
-    per-output-channel weight scales; returns `out_dtype` (no bias)."""
+               out_dtype: jnp.dtype,
+               act_scale: jax.Array | None = None) -> jax.Array:
+    """int8 [..., in] @ [in, out] with dynamic or static activation scale
+    and per-output-channel weight scales; returns `out_dtype` (no bias)."""
     wq, sw = quantize_weight(kernel, (0,))  # sw: [1, O]
-    xq, sa = _quantize_activation(x)
+    xq, sa = _quantize_activation(x, act_scale)
     y = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     return (y.astype(jnp.float32) * (sa * sw.reshape(1, -1))).astype(out_dtype)
 
 
-def conv_quantizable(cin: int, cout: int) -> bool:
-    return (quantization() == "w8a8"
-            and min(cin, cout) >= MIN_QUANT_CHANNELS)
+def _quantizable(cin: int, cout: int, path: str | None) -> bool:
+    mode = quantization()
+    if mode not in ("w8a8", "w8a8_static"):
+        return False
+    if min(cin, cout) < MIN_QUANT_CHANNELS:
+        return False
+    if not layer_selected(path):
+        return False
+    if mode == "w8a8_static" and static_scale(path) is None:
+        # no calibration record for this layer → stay full precision
+        return False
+    return True
 
 
-def dense_quantizable(cin: int, cout: int) -> bool:
-    return (quantization() == "w8a8"
-            and min(cin, cout) >= MIN_QUANT_CHANNELS)
+def conv_quantizable(cin: int, cout: int, path: str | None = None) -> bool:
+    return _quantizable(cin, cout, path)
+
+
+def dense_quantizable(cin: int, cout: int, path: str | None = None) -> bool:
+    return _quantizable(cin, cout, path)
 
 
 def maybe_quantized_dense(x: jax.Array, kernel: jax.Array,
                           bias: jax.Array | None,
-                          dtype: jnp.dtype) -> jax.Array:
+                          dtype: jnp.dtype,
+                          path: str | None = None) -> jax.Array:
     """Dense matmul that honours the active quantization mode; numerically
     identical to `x @ kernel.astype(dtype) (+ bias)` when the mode is off
     or the layer is too thin to pay."""
     cin, cout = kernel.shape
-    if dense_quantizable(cin, cout):
-        y = w8a8_dense(x, kernel, dtype)
+    if dense_quantizable(cin, cout, path):
+        y = w8a8_dense(x, kernel, dtype, static_scale(path))
     else:
         y = x.astype(dtype) @ kernel.astype(dtype)
     return y + bias.astype(dtype) if bias is not None else y

@@ -119,7 +119,17 @@ def validate_batch_for_mesh(batch_size: int, mesh: Mesh | None,
 
 def multihost_init() -> None:
     """Bring-up for multi-host pods over DCN (no-op on a single process).
-    Controlled by the standard JAX env vars / cluster auto-detection."""
-    if int(os.environ.get("JAX_PROCESS_COUNT", "1")) > 1 or \
-            os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+
+    Cluster environments (TPU pods, SLURM, GKE) auto-detect through
+    jax.distributed.initialize(); bare launches configure explicitly via
+    COORDINATOR_ADDRESS + JAX_PROCESS_COUNT + JAX_PROCESS_ID — the path the
+    real 2-process CPU test drives (tests/test_multiprocess.py)."""
+    nproc = int(os.environ.get("JAX_PROCESS_COUNT", "1"))
+    addr = os.environ.get("COORDINATOR_ADDRESS")
+    if nproc <= 1 and not addr:
+        return
+    kwargs: dict = {}
+    if addr:
+        kwargs = dict(coordinator_address=addr, num_processes=nproc,
+                      process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+    jax.distributed.initialize(**kwargs)

@@ -69,6 +69,14 @@ class PixelDiffusionSampler:
         self.num_steps = num_steps or schedule.num_train_timesteps
         self.text_embeddings = text_embeddings
         self.mesh = mesh
+        self._quant_scales = None
+        if quantize == "w8a8_static":
+            # one-time activation-scale calibration (diffusion/calibrate.py)
+            from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
+            self._quant_scales = calibrate_unet_scales(
+                model, params, schedule,
+                (2, image_size, image_size, model.out_channels),
+                cond=text_embeddings, num_steps=8)
 
         # jitted with params as ARGUMENTS (closing over them would embed the
         # weights as HLO constants and blow up compile time); batch_size is
@@ -95,11 +103,11 @@ class PixelDiffusionSampler:
                                    (batch_size,) + text_embeddings.shape[-2:])
 
             def model_fn(x, t):
-                with quant.override(self.quantize):
+                with quant.override(self.quantize, scales=self._quant_scales):
                     return self.model.apply({"params": params}, x, t, ctx)
         else:
             def model_fn(x, t):
-                with quant.override(self.quantize):
+                with quant.override(self.quantize, scales=self._quant_scales):
                     return self.model.apply({"params": params}, x, t)
 
         return sample(self.sampler, model_fn, self.schedule, shape, key,
@@ -123,6 +131,7 @@ class StableDiffusionSampler:
                  mesh=None, quantize: str | None = None):
         self.unet = unet
         self.quantize = quantize
+        self._quant_scales: dict | None = None
         self.unet_params = unet_params
         self.vae = vae
         self.vae_params = vae_params
@@ -158,7 +167,7 @@ class StableDiffusionSampler:
         def raw_fn(x, t, emb):
             # quantization scoped to the UNet only (trace-time context):
             # the VAE decode below stays full-precision.
-            with quant.override(self.quantize):
+            with quant.override(self.quantize, scales=self._quant_scales):
                 return self.unet.apply({"params": unet_params}, x, t, emb)
 
         model_fn = with_cfg(raw_fn, cond, uncond, self.guidance_scale)
@@ -171,6 +180,18 @@ class StableDiffusionSampler:
     def for_prompt(self, prompt: str) -> BatchSampler:
         cond = self.encode_prompt(prompt)
         uncond = self.encode_prompt("")
+        if self.quantize == "w8a8_static" and self._quant_scales is None:
+            # one-time activation-scale calibration on this stack's own
+            # denoising trajectory (diffusion/calibrate.py); reused for
+            # every subsequent prompt — scales are activation-magnitude
+            # bounds, not prompt-specific content.
+            from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
+            latent = self.image_size // 8
+            self._quant_scales = calibrate_unet_scales(
+                self.unet, self.unet_params, self.schedule,
+                (2, latent, latent, 4), cond, uncond,
+                num_steps=min(8, self.num_steps),
+                guidance_scale=self.guidance_scale)
         out_shardings = None
         if self.mesh is not None:
             from polyp_tpu.parallel import data_sharding

@@ -64,7 +64,8 @@ def create_classifier_state(config: ClassificationConfig, num_classes: int,
                             rng: jax.Array) -> tuple[ClassifierState, PolypClassifier]:
     model = PolypClassifier(num_classes=num_classes,
                             hidden_features=config.hidden_features,
-                            dropout=config.dropout)
+                            dropout=config.dropout,
+                            variant=getattr(config, "variant", "b0"))
     dummy = jnp.zeros((1, config.image_size, config.image_size, 3),
                       jnp.bfloat16 if config.mixed_precision == "bf16" else jnp.float32)
     variables = model.init({"params": rng}, dummy, train=False)

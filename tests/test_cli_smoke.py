@@ -71,6 +71,65 @@ def test_lora_per_class_cli_tiny_train_and_resume(corpus, tmp_path, monkeypatch)
                                                          "3.png"]
 
 
+def test_lora_all_classes_cli(corpus, tmp_path, monkeypatch):
+    """C13 e2e: one run loops every class, computes its own quotas, trains
+    with gradient accumulation, and --generate_subsamples caps generation at
+    5/class (train_with_lora_all_classes.py:77-95,121-176,278-283)."""
+    monkeypatch.chdir(tmp_path)
+    from polyp_tpu.cli.lora_all_classes import main
+
+    main(["--data-root", str(corpus), "--cache-dir", str(tmp_path / "cache"),
+          "--tracker-root", str(tmp_path / "runs"),
+          "--folder", str(tmp_path / "allrun"), "--tiny", "--one_vs_rest",
+          "--generate_subsamples", "--accumulation_steps", "2",
+          "--num_epochs", "1", "--image_size", "32"])
+    for cls in ("AD", "REST"):
+        samples = tmp_path / "allrun/samples" / cls
+        assert len(list(samples.glob("*.png"))) == 5, cls
+        assert (tmp_path / f"allrun/lora_{cls}").exists()
+    assert (tmp_path / "allrun/loss_history_AD.png").exists()
+    # post-generation fidelity metric logged into the tracker run
+    logged = "".join(p.read_text()
+                     for p in (tmp_path / "runs").rglob("*.jsonl"))
+    assert "frechet_AD" in logged and "frechet_REST" in logged
+
+
+def test_finetune_pretrained_cli(corpus, tmp_path, monkeypatch):
+    """C11 e2e: whole-corpus latent LoRA fine-tune, fixed polyp prompt,
+    final-epoch sample grid + adapter save (train_from_pretrained.py)."""
+    monkeypatch.chdir(tmp_path)
+    from polyp_tpu.cli.finetune_pretrained import main
+
+    main(["--data-root", str(corpus), "--cache-dir", str(tmp_path / "cache"),
+          "--tracker-root", str(tmp_path / "runs"), "--tiny",
+          "--num_epochs", "1", "--image_size", "32",
+          "--eval_batch_size", "2", "--num_inference_steps", "2",
+          "--output-dir", str(tmp_path / "ft")])
+    assert (tmp_path / "ft/lora_weights").exists()
+    assert len(list((tmp_path / "ft/samples/0000").glob("*.png"))) == 2
+
+
+def test_train_scratch_cli(corpus, tmp_path, monkeypatch):
+    """C10 e2e: per-class pixel DDPM training with quota-driven final-epoch
+    generation and per-class model checkpoints (train_from_scratch.py)."""
+    monkeypatch.chdir(tmp_path)
+    from polyp_tpu.cli.train_scratch import main
+    from polyp_tpu.eval.quota import get_num_images_to_generate
+
+    main(["--data-root", str(corpus), "--cache-dir", str(tmp_path / "cache"),
+          "--tracker-root", str(tmp_path / "runs"), "--tiny",
+          "--num_epochs", "1", "--image_size", "32",
+          "--train_batch_size", "4",
+          "--num_train_timesteps", "8", "--sample_steps", "2",
+          "--ad_minimum", "9", "--output-dir", str(tmp_path / "scratch")])
+    quotas = get_num_images_to_generate({"AD": 8, "HP": 3, "ASS": 3},
+                                        (0.4, 0.3, 0.3), ad_minimum=9)
+    for cls in ("AD", "HP", "ASS"):
+        n = len(list((tmp_path / "scratch/samples" / cls).glob("*.png")))
+        assert n == quotas[cls], (cls, n, quotas)
+        assert (tmp_path / f"scratch/models/model_{cls}").exists()
+
+
 def test_eval_augmentation_cli(corpus, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rng = np.random.default_rng(1)
@@ -91,6 +150,9 @@ def test_eval_augmentation_cli(corpus, tmp_path, monkeypatch):
     ])
     assert metrics["train_size"] == 14 + 4  # real + synthetic
     assert (tmp_path / "genrun/confusion_matrix_augmented.png").exists()
+    # per-class sample-fidelity signal (eval/fid.py) rides the harness run
+    assert set(metrics["frechet"]["per_class"]) == {"AD", "HP"}
+    assert all(np.isfinite(v) for v in metrics["frechet"]["per_class"].values())
 
 
 def test_dreambooth_resume_rebinds_token_id(corpus, tmp_path, monkeypatch):

@@ -52,6 +52,42 @@ class TestFrechet:
         assert d == pytest.approx(4 * 4.0, rel=0.15)  # |Δμ|² = 16
 
 
+class TestClassFrechet:
+    def test_per_class_distances(self, synth_polyp_dir, tmp_path):
+        """class_frechet_distances: per-class real-vs-samples distances;
+        copies of the real images score ≈0, shifted images score higher;
+        classes without a samples dir or with <2 images are skipped."""
+        from PIL import Image
+
+        from polyp_tpu.eval.fid import FeatureExtractor, class_frechet_distances
+
+        samples = tmp_path / "samples"
+        img_dir = synth_polyp_dir["image_dir"]
+        csv = synth_polyp_dir["csv"]
+        # AD: exact copies of the real AD images; HP: heavily shifted
+        import pandas as pd
+        df = pd.read_csv(csv)
+        for cls, shift in (("AD", 0), ("HP", 100)):
+            d = samples / cls
+            d.mkdir(parents=True)
+            for i, image_id in enumerate(df[df.cls == cls].image_id):
+                arr = np.asarray(Image.open(img_dir / f"{image_id}.tif"))
+                arr = np.clip(arr.astype(np.int32) + shift, 0, 255)
+                Image.fromarray(arr.astype(np.uint8)).save(d / f"{i}.png")
+
+        # cheap deterministic extractor — keeps the fast tier compile-free
+        extractor = FeatureExtractor(
+            fn=lambda u8: u8.reshape(len(u8), -1)[:, :32].astype(np.float32),
+            name="flat32", calibrated=False)
+        out = class_frechet_distances(img_dir, csv, samples,
+                                      image_size=16, extractor=extractor)
+        assert out["extractor"] == "flat32" and out["calibrated"] is False
+        # ASS has only 1 real image and no samples dir → skipped
+        assert set(out["per_class"]) == {"AD", "HP"}
+        assert out["per_class"]["AD"] == pytest.approx(0.0, abs=1e-6)
+        assert out["per_class"]["HP"] > 100.0
+
+
 class TestFidDirs:
     def test_same_dir_near_zero_distinct_dirs_positive(self, tmp_path):
         rng = np.random.default_rng(0)

@@ -187,3 +187,107 @@ def test_weight_differentiation_also_refused():
     w = jax.random.normal(jax.random.PRNGKey(1), (64, 64)) * 0.1
     with pytest.raises(NotImplementedError, match="inference-only"):
         jax.grad(lambda w_: jnp.sum(quant.w8a8_dense(x, w_, jnp.float32)))(w)
+
+
+def test_skip_and_only_layer_selection():
+    """The per-layer exclusion knob (sensitivity-sweep machinery): skip-all
+    reproduces full precision EXACTLY; `only` quantizes just the named
+    family."""
+    from polyp_tpu.models.unet_blocks import ResnetBlock2D
+
+    block = ResnetBlock2D(64, use_time_emb=False, groups=8)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 64)) * 0.5
+    params = block.init(jax.random.PRNGKey(8), x)["params"]
+    full = block.apply({"params": params}, x)
+    with quant.override("w8a8", skip=("conv",)):
+        skipped = block.apply({"params": params}, x)
+    np.testing.assert_array_equal(np.asarray(skipped), np.asarray(full))
+    with quant.override("w8a8", only=("conv1",)):
+        only1 = block.apply({"params": params}, x)
+    with quant.override("w8a8"):
+        allq = block.apply({"params": params}, x)
+    assert not np.array_equal(np.asarray(only1), np.asarray(full))
+    assert not np.array_equal(np.asarray(only1), np.asarray(allq))
+
+
+def test_calibration_collects_and_static_mode_tracks_dynamic():
+    """w8a8_calib sows per-layer activation amax; scales_from_stats keys
+    follow the QConv/dense path conventions; the static mode's error vs
+    full precision is in the same band as the dynamic mode's."""
+    from polyp_tpu.diffusion import DiffusionSchedule
+    from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
+    from polyp_tpu.models import tiny_condition_unet
+
+    unet = tiny_condition_unet(dtype=jnp.float32)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 8, 8, 4))
+    t = jnp.asarray([3, 7], jnp.int32)
+    ctx = jax.random.normal(jax.random.fold_in(k, 1), (2, 7, 32))
+    params = unet.init(k, x, t, ctx)["params"]
+    sched = DiffusionSchedule.create(10)
+
+    scales = calibrate_unet_scales(unet, params, sched, (2, 8, 8, 4),
+                                   cond=ctx[:1], num_steps=3,
+                                   dtype=jnp.float32)
+    assert scales and all(v > 0 for v in scales.values())
+    # naming conventions both for QConv (…/conv1) and dense (…/to_q, ff_…)
+    assert any(p.endswith("/conv1") or p.endswith("/conv2") for p in scales)
+    assert any(p.endswith("/to_q") for p in scales)
+    assert any("ff_net_0_proj" in p for p in scales)
+
+    full = unet.apply({"params": params}, x, t, ctx)
+    with quant.override("w8a8"):
+        dyn = unet.apply({"params": params}, x, t, ctx)
+    with quant.override("w8a8_static", scales=scales):
+        stat = unet.apply({"params": params}, x, t, ctx)
+    assert np.isfinite(np.asarray(stat)).all()
+
+    def rel(a, b):
+        return (np.linalg.norm(np.asarray(a - b))
+                / np.linalg.norm(np.asarray(b)))
+
+    e_dyn, e_stat = rel(dyn, full), rel(stat, full)
+    assert 0 < e_dyn < 0.1, e_dyn
+    assert 0 < e_stat < max(0.15, 3 * e_dyn), (e_stat, e_dyn)
+
+
+def test_static_mode_without_scales_refused_but_empty_ok():
+    with pytest.raises(ValueError):
+        with quant.override("w8a8_static"):
+            pass
+    from polyp_tpu.models.unet_blocks import ResnetBlock2D
+
+    block = ResnetBlock2D(64, use_time_emb=False, groups=8)
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 4, 4, 64))
+    params = block.init(jax.random.PRNGKey(10), x)["params"]
+    full = block.apply({"params": params}, x)
+    with quant.override("w8a8_static", scales={}):
+        out = block.apply({"params": params}, x)  # no scale → full precision
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
+
+
+@pytest.mark.slow
+def test_sensitivity_sweep_quick_mode():
+    """tools/quant_sensitivity.py end-to-end at tiny scale: per-family
+    deltas, skip-worst-k configs, calibrated static mode, and the
+    documented go/no-go gate all present and finite."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        import quant_sensitivity as qs
+    finally:
+        sys.path.pop(0)
+
+    report = qs.run_sweep(batch=2, image_size=32, steps=2, quick=True)
+    assert report["gate_rel_l2"] == qs.GATE_REL_L2 == 0.05
+    assert set(report["per_family_rel_l2"]) == set(qs.FAMILIES)
+    assert all(np.isfinite(v) for v in report["per_family_rel_l2"].values())
+    assert np.isfinite(report["full_w8a8_rel_l2"])
+    assert np.isfinite(report["w8a8_static_rel_l2"])
+    assert report["n_calibrated_layers"] > 0
+    # skipping the worst family can only help or tie (same seed/workload)
+    assert (report["w8a8_skip_worst1"]["rel_l2"]
+            <= report["full_w8a8_rel_l2"] + 0.02)
+    assert isinstance(report["full_w8a8_gate_pass"], bool)

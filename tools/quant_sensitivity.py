@@ -1,0 +1,137 @@
+"""Per-layer-family W8A8 sensitivity sweep + quality gate.
+
+Measures, for the fixed-seed SD sampling workload, the image-space damage
+each quantized layer family causes alone (`quant.override(..., only=...)`),
+then evaluates full quantization with the worst k families excluded
+(`skip=...`) and the calibrated static mode. The go/no-go criterion for
+ever making a quant mode default is GATE_REL_L2 (ops/quant.py): fixed-seed
+rel L2 vs bf16 below the gate → eligible; above → stays opt-in.
+
+Run (TPU): python tools/quant_sensitivity.py [--quick] [--batch 4]
+           [--steps 25] [--image-size 256]
+Prints one JSON report; BASELINE.md vendors the table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# layer families addressable by path substring (models/unet_blocks.py)
+FAMILIES = ("conv1", "conv2", "conv_shortcut", "proj_in", "proj_out",
+            "to_q", "to_k", "to_v", "to_out",
+            "ff_net_0_proj", "ff_net_2", "downsample", "upsample")
+
+# go/no-go: fixed-seed image rel L2 vs bf16 must beat this for a quant mode
+# to be promotable beyond opt-in (BASELINE.md quantization section)
+GATE_REL_L2 = 0.05
+
+
+def run_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
+              quick: bool = False, seed: int = 0) -> dict:
+    from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
+    from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
+    from polyp_tpu.models import (AutoencoderKL, sd14_unet,
+                                  tiny_condition_unet, tiny_vae)
+    from polyp_tpu.ops import quant
+
+    dtype = jnp.bfloat16
+    if quick:
+        unet, vae, ctx_dim = tiny_condition_unet(dtype=dtype), tiny_vae(dtype=dtype), 32
+    else:
+        unet, vae, ctx_dim = sd14_unet(dtype=dtype), AutoencoderKL(dtype=dtype), 768
+    latent = image_size // 8
+
+    k = jax.random.PRNGKey(seed)
+    uparams = jax.jit(unet.init)(
+        {"params": k}, jnp.zeros((1, latent, latent, 4), dtype),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, ctx_dim), dtype))["params"]
+    vparams = jax.jit(vae.init)(
+        {"params": k}, jnp.zeros((1, image_size, image_size, 3), dtype), k)
+    cond = jax.random.normal(k, (1, 77, ctx_dim), dtype)
+    uncond = jnp.zeros((1, 77, ctx_dim), dtype)
+    schedule = DiffusionSchedule.create(1000, "scaled_linear", 0.00085, 0.012)
+
+    def make_generate(mode, scales=None, skip=(), only=None):
+        @jax.jit
+        def generate(uparams, vparams, cond, uncond, key):
+            def raw_fn(z, tt, emb):
+                with quant.override(mode, scales=scales, skip=skip,
+                                    only=only):
+                    return unet.apply({"params": uparams}, z, tt, emb)
+
+            model_fn = with_cfg(raw_fn, cond, uncond, 7.5)
+            latents = sample("ddim", model_fn, schedule,
+                             (batch, latent, latent, 4), key, steps)
+            return vae.apply(vparams, latents.astype(dtype) / 0.18215,
+                             method=vae.decode)
+        return generate
+
+    key = jax.random.PRNGKey(seed + 1)
+
+    def images(mode, **kw):
+        out = make_generate(mode, **kw)(uparams, vparams, cond, uncond, key)
+        return np.asarray(out, np.float32)
+
+    ref = images(None)
+
+    def rel_l2(img):
+        return float(np.linalg.norm(img - ref) / np.linalg.norm(ref))
+
+    report: dict = {"gate_rel_l2": GATE_REL_L2, "batch": batch,
+                    "steps": steps, "image_size": image_size,
+                    "quick": quick}
+
+    per_family = {}
+    for fam in FAMILIES:
+        per_family[fam] = rel_l2(images("w8a8", only=(fam,)))
+        print(f"# only={fam}: rel_l2={per_family[fam]:.4f}", flush=True)
+    report["per_family_rel_l2"] = dict(
+        sorted(per_family.items(), key=lambda kv: -kv[1]))
+
+    report["full_w8a8_rel_l2"] = rel_l2(images("w8a8"))
+    worst = list(report["per_family_rel_l2"])
+    for k_excl in (1, 2, 3):
+        skip = tuple(worst[:k_excl])
+        report[f"w8a8_skip_worst{k_excl}"] = {
+            "skip": skip, "rel_l2": rel_l2(images("w8a8", skip=skip))}
+
+    scales = calibrate_unet_scales(unet, uparams, schedule,
+                                   (2, latent, latent, 4), cond, uncond,
+                                   num_steps=8)
+    report["n_calibrated_layers"] = len(scales)
+    report["w8a8_static_rel_l2"] = rel_l2(
+        images("w8a8_static", scales=scales))
+    for k_excl in (1, 2):
+        skip = tuple(worst[:k_excl])
+        report[f"w8a8_static_skip_worst{k_excl}"] = {
+            "skip": skip,
+            "rel_l2": rel_l2(images("w8a8_static", scales=scales, skip=skip))}
+
+    for mode_key in ("full_w8a8_rel_l2", "w8a8_static_rel_l2"):
+        report[mode_key.replace("_rel_l2", "_gate_pass")] = \
+            report[mode_key] < GATE_REL_L2
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    print(json.dumps(run_sweep(args.batch, args.image_size, args.steps,
+                               args.quick)))
+
+
+if __name__ == "__main__":
+    main()
