@@ -85,11 +85,16 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
 
     scales = None
     if quantize == "w8a8_static":
-        from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
+        from polyp_tpu.diffusion.calibrate import (
+            cached_scales, calibrate_unet_scales, default_scales_cache,
+            params_fingerprint)
         t0 = time.perf_counter()
-        scales = calibrate_unet_scales(unet, uparams, schedule,
-                                       (2, latent, latent, 4), cond, uncond,
-                                       num_steps=8)
+        fp = params_fingerprint(uparams, image_size, 1000)
+        scales = cached_scales(
+            default_scales_cache(fp),
+            lambda: calibrate_unet_scales(unet, uparams, schedule,
+                                          (2, latent, latent, 4), cond,
+                                          uncond, num_steps=8), fp)
         print(f"# calibrated {len(scales)} scales in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
 

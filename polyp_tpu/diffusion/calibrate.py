@@ -17,12 +17,72 @@ TPU-native extra, consumed by the sampling CLIs via
 
 from __future__ import annotations
 
+import hashlib
+import json
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from polyp_tpu.diffusion.schedule import DiffusionSchedule
 from polyp_tpu.ops import quant
+
+
+def cached_scales(cache_path: str | Path | None,
+                  compute, fingerprint: str) -> dict[str, float]:
+    """Disk-cache wrapper for calibration: compiling + driving the
+    calibration forwards costs minutes on the 860M UNet, while the result
+    is a ~256-entry float dict — persist it keyed by a caller-supplied
+    fingerprint (weights/config digest) and reuse."""
+    if cache_path is None:
+        return compute()
+    cache_path = Path(cache_path)
+    if cache_path.exists():
+        try:
+            payload = json.loads(cache_path.read_text())
+            if payload.get("fingerprint") == fingerprint:
+                return payload["scales"]
+        except Exception:
+            pass  # unreadable cache → recompute
+    scales = compute()
+    cache_path.parent.mkdir(parents=True, exist_ok=True)
+    cache_path.write_text(json.dumps(
+        {"fingerprint": fingerprint, "scales": scales}))
+    return scales
+
+
+def params_fingerprint(params, *extra: object) -> str:
+    """Cheap content fingerprint for a param pytree: leaf paths/shapes plus
+    one fp32 sum per leaf, computed in a single jitted reduction (one
+    device round-trip — full-leaf host fetches would move GBs through the
+    tunnel). NOT a cryptographic hash — calibration tolerance makes
+    collisions across genuinely different checkpoints irrelevant unless
+    shapes AND per-leaf sums match."""
+    h = hashlib.sha256()
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for keypath, leaf in flat:
+        h.update(str(keypath).encode())
+        h.update(str(jnp.shape(leaf)).encode())
+
+    @jax.jit
+    def leaf_sums(leaves):
+        return jnp.stack([jnp.sum(x.astype(jnp.float32)) for x in leaves])
+
+    sums = np.asarray(jax.device_get(leaf_sums([l for _, l in flat])))
+    h.update(np.ascontiguousarray(sums, np.float32).tobytes())
+    for e in extra:
+        h.update(str(e).encode())
+    return h.hexdigest()[:24]
+
+
+def default_scales_cache(fingerprint: str) -> Path:
+    """Per-checkpoint cache file for calibrated scales (override root with
+    POLYP_QUANT_CACHE)."""
+    import os
+    root = Path(os.environ.get(
+        "POLYP_QUANT_CACHE", str(Path.home() / ".cache" / "polyp_tpu")))
+    return root / f"quant_scales_{fingerprint}.json"
 
 
 def calibrate_unet_scales(

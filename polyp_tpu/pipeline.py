@@ -71,12 +71,19 @@ class PixelDiffusionSampler:
         self.mesh = mesh
         self._quant_scales = None
         if quantize == "w8a8_static":
-            # one-time activation-scale calibration (diffusion/calibrate.py)
-            from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
-            self._quant_scales = calibrate_unet_scales(
-                model, params, schedule,
-                (2, image_size, image_size, model.out_channels),
-                cond=text_embeddings, num_steps=8)
+            # one-time activation-scale calibration (diffusion/calibrate.py),
+            # disk-cached per checkpoint fingerprint
+            from polyp_tpu.diffusion.calibrate import (
+                cached_scales, calibrate_unet_scales, default_scales_cache,
+                params_fingerprint)
+            fp = params_fingerprint(params, image_size,
+                                    schedule.num_train_timesteps)
+            self._quant_scales = cached_scales(
+                default_scales_cache(fp),
+                lambda: calibrate_unet_scales(
+                    model, params, schedule,
+                    (2, image_size, image_size, model.out_channels),
+                    cond=text_embeddings, num_steps=8), fp)
 
         # jitted with params as ARGUMENTS (closing over them would embed the
         # weights as HLO constants and blow up compile time); batch_size is
@@ -184,14 +191,22 @@ class StableDiffusionSampler:
             # one-time activation-scale calibration on this stack's own
             # denoising trajectory (diffusion/calibrate.py); reused for
             # every subsequent prompt — scales are activation-magnitude
-            # bounds, not prompt-specific content.
-            from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
+            # bounds, not prompt-specific content — and disk-cached per
+            # checkpoint fingerprint (the calibration compile costs minutes).
+            from polyp_tpu.diffusion.calibrate import (
+                cached_scales, calibrate_unet_scales, default_scales_cache,
+                params_fingerprint)
             latent = self.image_size // 8
-            self._quant_scales = calibrate_unet_scales(
-                self.unet, self.unet_params, self.schedule,
-                (2, latent, latent, 4), cond, uncond,
-                num_steps=min(8, self.num_steps),
-                guidance_scale=self.guidance_scale)
+            fp = params_fingerprint(self.unet_params, self.image_size,
+                                    self.schedule.num_train_timesteps,
+                                    self.guidance_scale)
+            self._quant_scales = cached_scales(
+                default_scales_cache(fp),
+                lambda: calibrate_unet_scales(
+                    self.unet, self.unet_params, self.schedule,
+                    (2, latent, latent, 4), cond, uncond,
+                    num_steps=min(8, self.num_steps),
+                    guidance_scale=self.guidance_scale), fp)
         out_shardings = None
         if self.mesh is not None:
             from polyp_tpu.parallel import data_sharding

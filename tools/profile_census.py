@@ -69,10 +69,25 @@ def main() -> None:
     params = jax.jit(unet.init)({"params": jax.random.PRNGKey(1)},
                                 lat[:1], t[:1], ctx[:1])["params"]
 
+    scales = None
+    if mode == "w8a8_static":
+        from polyp_tpu.diffusion import DiffusionSchedule
+        from polyp_tpu.diffusion.calibrate import (
+            cached_scales, calibrate_unet_scales, default_scales_cache,
+            params_fingerprint)
+        sched = DiffusionSchedule.create(1000, "scaled_linear",
+                                         0.00085, 0.012)
+        fp = params_fingerprint(params, latent * 8, 1000)
+        scales = cached_scales(
+            default_scales_cache(fp),
+            lambda: calibrate_unet_scales(
+                unet, params, sched, (2, latent, latent, 4), ctx[:1],
+                jnp.zeros_like(ctx[:1]), num_steps=8), fp)
+
     @jax.jit
     def chain(params, lat, t, ctx):
         def body(h, _):
-            with quant.override(mode):
+            with quant.override(mode, scales=scales):
                 eps = unet.apply({"params": params}, h, t, ctx)
             return (h * 0.98 + eps.astype(h.dtype) * 0.01).astype(h.dtype), None
         h, _ = jax.lax.scan(body, lat, None, length=iters)

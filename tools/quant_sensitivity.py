@@ -35,7 +35,14 @@ GATE_REL_L2 = 0.05
 
 
 def run_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
-              quick: bool = False, seed: int = 0) -> dict:
+              quick: bool = False, seed: int = 0,
+              forward_only: bool = False) -> dict:
+    """`forward_only=True` scores each family by the rel-L2 of ONE UNet
+    forward (mid-trajectory noisy latent) instead of a full fixed-seed
+    sampling run — each config then compiles the bare forward (~minutes)
+    rather than the whole 25-step scan (~tens of minutes on this host).
+    Full-trajectory deltas are still measured for the aggregate configs
+    (full w8a8, static, skip-worst-1)."""
     from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
     from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
     from polyp_tpu.models import (AutoencoderKL, sd14_unet,
@@ -88,21 +95,50 @@ def run_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
 
     report: dict = {"gate_rel_l2": GATE_REL_L2, "batch": batch,
                     "steps": steps, "image_size": image_size,
-                    "quick": quick}
+                    "quick": quick, "forward_only": forward_only}
 
-    per_family = {}
-    for fam in FAMILIES:
-        per_family[fam] = rel_l2(images("w8a8", only=(fam,)))
-        print(f"# only={fam}: rel_l2={per_family[fam]:.4f}", flush=True)
+    if forward_only:
+        # per-family scoring on a single mid-trajectory forward
+        x_mid = jax.random.normal(jax.random.PRNGKey(seed + 2),
+                                  (batch, latent, latent, 4), dtype)
+        t_mid = jnp.full((batch,), 500, jnp.int32)
+        ctx_mid = jnp.broadcast_to(cond, (batch, 77, cond.shape[-1]))
+
+        def fwd(mode, **kw):
+            @jax.jit
+            def f(uparams, x, t, c):
+                with quant.override(mode, **kw):
+                    return unet.apply({"params": uparams}, x, t, c)
+            return np.asarray(f(uparams, x_mid, t_mid, ctx_mid), np.float32)
+
+        fref = fwd(None)
+
+        def frel(out):
+            return float(np.linalg.norm(out - fref) / np.linalg.norm(fref))
+
+        per_family = {}
+        for fam in FAMILIES:
+            per_family[fam] = frel(fwd("w8a8", only=(fam,)))
+            print(f"# only={fam}: fwd rel_l2={per_family[fam]:.4f}",
+                  flush=True)
+    else:
+        per_family = {}
+        for fam in FAMILIES:
+            per_family[fam] = rel_l2(images("w8a8", only=(fam,)))
+            print(f"# only={fam}: rel_l2={per_family[fam]:.4f}", flush=True)
     report["per_family_rel_l2"] = dict(
         sorted(per_family.items(), key=lambda kv: -kv[1]))
 
     report["full_w8a8_rel_l2"] = rel_l2(images("w8a8"))
+    print(f"# full w8a8: rel_l2={report['full_w8a8_rel_l2']:.4f}", flush=True)
     worst = list(report["per_family_rel_l2"])
-    for k_excl in (1, 2, 3):
+    ks = (1,) if forward_only else (1, 2, 3)
+    for k_excl in ks:
         skip = tuple(worst[:k_excl])
         report[f"w8a8_skip_worst{k_excl}"] = {
             "skip": skip, "rel_l2": rel_l2(images("w8a8", skip=skip))}
+        print(f"# skip_worst{k_excl}: {report[f'w8a8_skip_worst{k_excl}']}",
+              flush=True)
 
     scales = calibrate_unet_scales(unet, uparams, schedule,
                                    (2, latent, latent, 4), cond, uncond,
@@ -110,7 +146,8 @@ def run_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
     report["n_calibrated_layers"] = len(scales)
     report["w8a8_static_rel_l2"] = rel_l2(
         images("w8a8_static", scales=scales))
-    for k_excl in (1, 2):
+    print(f"# static: rel_l2={report['w8a8_static_rel_l2']:.4f}", flush=True)
+    for k_excl in () if forward_only else (1, 2):
         skip = tuple(worst[:k_excl])
         report[f"w8a8_static_skip_worst{k_excl}"] = {
             "skip": skip,
@@ -128,9 +165,13 @@ def main():
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--forward-only", action="store_true",
+                    help="score families on one UNet forward (compiles the "
+                         "bare forward per family instead of the full "
+                         "sampling scan)")
     args = ap.parse_args()
     print(json.dumps(run_sweep(args.batch, args.image_size, args.steps,
-                               args.quick)))
+                               args.quick, forward_only=args.forward_only)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,196 @@
+"""Roofline decomposition of the 256px SD sampling step (VERDICT r2 #7).
+
+Makes "fast enough" falsifiable: measures, on the real chip,
+(a) the achieved MXU rate of each SD conv shape class in bf16 and int8,
+(b) flash-attention time at each level's token count,
+(c) the VAE decode, and
+(d) the analytic FLOP/byte totals of one CFG UNet step
+    (jax lower().cost_analysis()),
+then prints the implied per-step floor and the ceiling in samples/sec/chip
+for bf16 and w8a8 against the measured end-to-end numbers.
+
+Run (TPU, exclusive): python tools/roofline.py [--batch 16] [--steps 50]
+Prints one JSON report; BASELINE.md vendors the table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# v5e peaks (public spec): 197 bf16 TFLOP/s, 394 int8 TOP/s, 819 GB/s HBM
+PEAK_BF16_TFLOPS = 197.0
+PEAK_INT8_TOPS = 394.0
+HBM_GBPS = 819.0
+
+# SD UNet conv shape classes at 32×32 latents (CFG batch = 2×B):
+# (spatial, channels) per level — level 3 shares level 2's channel width
+LEVELS = [(32, 320), (16, 640), (8, 1280), (4, 1280)]
+
+
+def _sync(x) -> float:
+    return float(jax.device_get(jnp.sum(x.astype(jnp.float32))))
+
+
+def time_op(f, *args, iters: int = 20, reps: int = 3) -> float:
+    """Best-of reps of `iters` chained executions (one sync per rep)."""
+    @jax.jit
+    def chained(*a):
+        def body(i, acc):
+            return f(acc * (1 + 1e-6), *a[1:])
+        return jax.lax.fori_loop(0, iters, body, a[0])
+
+    _sync(chained(*args))
+    best = 1e9
+    for r in range(reps):
+        a0 = args[0] + r * 1e-4
+        _sync(a0)
+        t0 = time.perf_counter()
+        _sync(chained(a0, *args[1:]))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def bench_conv(batch: int, spatial: int, c: int, dtype) -> dict:
+    """3×3 SAME conv timing at an SD shape class; returns ms + TF/s."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, spatial, spatial, c),
+                          jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c), jnp.bfloat16)
+    if dtype == jnp.int8:
+        x = jnp.clip(jnp.round(x * 50), -127, 127).astype(jnp.int8)
+        w = jnp.clip(jnp.round(w * 50), -127, 127).astype(jnp.int8)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+
+    def conv(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=(jnp.int32 if dtype == jnp.int8
+                                    else jnp.bfloat16))
+        # keep the chain dtype-stable for fori_loop
+        if dtype == jnp.int8:
+            y = jnp.clip(y // 1024, -127, 127).astype(jnp.int8)
+        return y
+
+    sec = time_op(conv, x, w)
+    flops = 2 * batch * spatial * spatial * 9 * c * c
+    return {"ms": round(sec * 1e3, 4),
+            "tflops": round(flops / sec / 1e12, 1)}
+
+
+def bench_attention(batch_heads: int, tokens: int, head_dim: int = 64) -> dict:
+    from polyp_tpu.ops import dot_product_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0),
+                          (batch_heads, tokens, 8, head_dim), jnp.bfloat16)
+
+    def attn(q):
+        return dot_product_attention(q, q, q)
+
+    sec = time_op(attn, q)
+    flops = 4 * batch_heads * 8 * tokens * tokens * head_dim
+    return {"ms": round(sec * 1e3, 4),
+            "tflops": round(flops / sec / 1e12, 1)}
+
+
+def unet_step_analysis(batch: int, image_size: int) -> dict:
+    """Analytic totals of ONE CFG UNet forward via XLA cost analysis."""
+    from polyp_tpu.models import sd14_unet
+
+    unet = sd14_unet(dtype=jnp.bfloat16)
+    latent = image_size // 8
+    cfg_batch = 2 * batch
+    x = jnp.zeros((cfg_batch, latent, latent, 4), jnp.bfloat16)
+    t = jnp.zeros((cfg_batch,), jnp.int32)
+    ctx = jnp.zeros((cfg_batch, 77, 768), jnp.bfloat16)
+    params = jax.eval_shape(
+        lambda k: unet.init(k, x[:1], t[:1], ctx[:1]),
+        jax.random.PRNGKey(0))["params"]
+
+    def fwd(params, x, t, ctx):
+        return unet.apply({"params": params}, x, t, ctx)
+
+    lowered = jax.jit(fwd).lower(params, x, t, ctx)
+    cost = lowered.compile().cost_analysis()
+    return {"flops": float(cost.get("flops", float("nan"))),
+            "bytes": float(cost.get("bytes accessed", float("nan")))}
+
+
+def run(batch: int, steps: int, image_size: int,
+        measured: dict | None = None) -> dict:
+    report: dict = {"batch": batch, "steps": steps,
+                    "image_size": image_size,
+                    "peaks": {"bf16_tflops": PEAK_BF16_TFLOPS,
+                              "int8_tops": PEAK_INT8_TOPS,
+                              "hbm_gbps": HBM_GBPS}}
+    cfg_batch = 2 * batch
+
+    convs = {}
+    for spatial, c in LEVELS:
+        key = f"{spatial}x{spatial}x{c}"
+        convs[key] = {
+            "bf16": bench_conv(cfg_batch, spatial, c, jnp.bfloat16),
+            "int8": bench_conv(cfg_batch, spatial, c, jnp.int8),
+        }
+        print(f"# conv {key}: {convs[key]}", flush=True)
+    report["conv_rates"] = convs
+
+    attn = {}
+    for spatial, _ in LEVELS[:3]:  # level-3 has no attention
+        tokens = spatial * spatial
+        attn[f"{tokens}tok"] = bench_attention(cfg_batch, tokens)
+        print(f"# attn {tokens}: {attn[f'{tokens}tok']}", flush=True)
+    report["attention"] = attn
+
+    analysis = unet_step_analysis(batch, image_size)
+    report["unet_cfg_step"] = analysis
+    print(f"# unet step analysis: {analysis}", flush=True)
+
+    # floors: all step FLOPs at the best measured large-conv rate; all step
+    # bytes at HBM peak — the true floor is max(compute, memory)
+    best_bf16 = max(v["bf16"]["tflops"] for v in convs.values())
+    best_int8 = max(v["int8"]["tflops"] for v in convs.values())
+    flop_floor_bf16_ms = analysis["flops"] / (best_bf16 * 1e12) * 1e3
+    flop_floor_int8_ms = analysis["flops"] / (best_int8 * 1e12) * 1e3
+    mem_floor_ms = analysis["bytes"] / (HBM_GBPS * 1e9) * 1e3
+    attn_ms = sum(v["ms"] for v in attn.values())  # 1 self+1 cross ≈ 2× self?
+    report["floors_ms"] = {
+        "unet_flops_at_best_measured_bf16_rate": round(flop_floor_bf16_ms, 2),
+        "unet_flops_at_best_measured_int8_rate": round(flop_floor_int8_ms, 2),
+        "unet_bytes_at_hbm_peak": round(mem_floor_ms, 2),
+        "attention_measured_per_step": round(attn_ms, 2),
+    }
+
+    def ceiling(step_floor_ms):
+        # 50-step sample ceiling ignoring VAE decode (measured separately)
+        return batch / (steps * step_floor_ms / 1e3)
+
+    report["ceiling_samples_per_sec"] = {
+        "bf16": round(ceiling(max(flop_floor_bf16_ms, mem_floor_ms)), 2),
+        "int8": round(ceiling(max(flop_floor_int8_ms, mem_floor_ms)), 2),
+    }
+    if measured:
+        report["measured"] = measured
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--image-size", type=int, default=256)
+    args = ap.parse_args()
+    print(json.dumps(run(args.batch, args.steps, args.image_size)))
+
+
+if __name__ == "__main__":
+    main()
