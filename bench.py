@@ -103,7 +103,7 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
     @jax.jit
     def generate(uparams, vparams, cond, uncond, key):
         def raw_fn(z, tt, emb):
-            with quant.override(quantize, scales=scales):
+            with quant.override(quantize, scales=scales, t=tt):
                 return unet.apply({"params": uparams}, z, tt, emb)
 
         model_fn = with_cfg(raw_fn, cond, uncond, 7.5)

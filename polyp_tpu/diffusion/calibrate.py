@@ -29,11 +29,15 @@ from polyp_tpu.diffusion.schedule import DiffusionSchedule
 from polyp_tpu.ops import quant
 
 
+# bump when the scales payload shape changes (v2: per-timestep tables)
+CACHE_FORMAT = 2
+
+
 def cached_scales(cache_path: str | Path | None,
-                  compute, fingerprint: str) -> dict[str, float]:
+                  compute, fingerprint: str) -> dict:
     """Disk-cache wrapper for calibration: compiling + driving the
     calibration forwards costs minutes on the 860M UNet, while the result
-    is a ~256-entry float dict — persist it keyed by a caller-supplied
+    is a ~256-entry dict — persist it keyed by a caller-supplied
     fingerprint (weights/config digest) and reuse."""
     if cache_path is None:
         return compute()
@@ -41,14 +45,16 @@ def cached_scales(cache_path: str | Path | None,
     if cache_path.exists():
         try:
             payload = json.loads(cache_path.read_text())
-            if payload.get("fingerprint") == fingerprint:
+            if (payload.get("fingerprint") == fingerprint
+                    and payload.get("format") == CACHE_FORMAT):
                 return payload["scales"]
         except Exception:
             pass  # unreadable cache → recompute
     scales = compute()
     cache_path.parent.mkdir(parents=True, exist_ok=True)
     cache_path.write_text(json.dumps(
-        {"fingerprint": fingerprint, "scales": scales}))
+        {"fingerprint": fingerprint, "format": CACHE_FORMAT,
+         "scales": scales}))
     return scales
 
 
@@ -97,7 +103,8 @@ def calibrate_unet_scales(
     guidance_scale: float = 7.5,
     margin: float = 1.05,
     dtype=jnp.bfloat16,
-) -> dict[str, float]:
+    per_timestep: bool = True,
+) -> dict:
     """Per-layer activation scales for quant.override("w8a8_static").
 
     Drives `unet` (a Flax module) along a `num_steps`-point DDIM
@@ -106,7 +113,16 @@ def calibrate_unet_scales(
     when `uncond` is given — CFG runs both; `cond=None` drives an
     unconditional pixel model). `margin` head-rooms the observed amax;
     values beyond it saturate to ±127, which int8 tolerates gracefully
-    for rare outliers."""
+    for rare outliers.
+
+    `per_timestep=True` (default) returns per-layer scale TABLES indexed
+    by diffusion timestep ({path: [num_train_timesteps floats]}, linear
+    interpolation between trajectory points) — activation magnitudes swing
+    across the trajectory, and a single max-over-trajectory scale measured
+    3.7× worse image fidelity than per-timestep tables on the SD stack
+    (BASELINE.md round-3 sweep). Consumers must then pass the traced
+    timestep: ``quant.override("w8a8_static", scales=..., t=t)``.
+    `per_timestep=False` keeps the flat max-over-trajectory floats."""
     key = key if key is not None else jax.random.PRNGKey(0)
     if cond is not None:
         dtype = cond.dtype
@@ -129,17 +145,19 @@ def calibrate_unet_scales(
     abar = np.asarray(schedule.alphas_cumprod, np.float64)
     x = jax.random.normal(key, latent_shape, dtype)
 
-    stats = []
+    points: list[tuple[int, list]] = []
     for i, t in enumerate(ts):
         tt = jnp.full((n,), int(t), jnp.int32)
+        point_stats = []
         eps_c, s = calib_fwd(params, x, tt, bcast(cond))
-        stats.append(s)
+        point_stats.append(s)
         if uncond is not None:
             eps_u, s = calib_fwd(params, x, tt, bcast(uncond))
-            stats.append(s)
+            point_stats.append(s)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
         else:
             eps = eps_c
+        points.append((int(t), point_stats))
         if i + 1 < len(ts):
             # deterministic DDIM move to the next calibration timestep
             a_t, a_n = abar[int(t)], abar[int(ts[i + 1])]
@@ -148,4 +166,7 @@ def calibrate_unet_scales(
             x0 = (x32 - np.sqrt(1.0 - a_t) * eps32) / np.sqrt(a_t)
             x = (np.sqrt(a_n) * x0
                  + np.sqrt(1.0 - a_n) * eps32).astype(dtype)
-    return quant.scales_from_stats(stats, margin)
+    if per_timestep:
+        return quant.scale_tables_from_stats(points, T, margin)
+    return quant.scales_from_stats(
+        [s for _, ps in points for s in ps], margin)

@@ -16,7 +16,15 @@ Three trace-time modes (`override(...)`):
   ``override("w8a8_static", scales=...)``. The activation quantize becomes
   a scale-multiply+clamp+convert that XLA fuses into the producing
   GN/SiLU/conv fusion — no amax reduction and no standalone quantize pass,
-  which is the int8 tax the round-2 census identified.
+  which is the int8 tax the round-2 census identified. Scale values may be
+  floats (one scale per layer) or length-``num_train_timesteps`` tables
+  (one scale per layer per diffusion timestep, indexed by the traced
+  timestep passed as ``override(..., t=...)``). Tables exist because
+  diffusion activation magnitudes swing across the trajectory: a single
+  max-over-trajectory scale quantizes the small-magnitude timesteps
+  coarsely (measured rel L2 0.35 vs 0.10 dynamic on the SD stack —
+  BASELINE.md round-3 sweep), while a per-timestep lookup costs one tiny
+  gather per layer per step and keeps the fused epilogue.
 * ``"w8a8_calib"`` — calibration: ops run FULL precision while each
   quantizable layer sows its activation amax into the ``"quant_stats"``
   flax collection; `scales_from_stats` turns the collected tree into the
@@ -52,6 +60,7 @@ from typing import Any, Literal, Mapping, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Mode = Literal["w8a8", "w8a8_static", "w8a8_calib"] | None
 
@@ -59,6 +68,8 @@ _MODE: contextvars.ContextVar[Mode] = contextvars.ContextVar(
     "polyp_quantization_mode", default=None)
 _SCALES: contextvars.ContextVar[Mapping[str, float] | None] = \
     contextvars.ContextVar("polyp_quantization_scales", default=None)
+_T: contextvars.ContextVar[jax.Array | int | None] = contextvars.ContextVar(
+    "polyp_quantization_t", default=None)
 _SKIP: contextvars.ContextVar[tuple[str, ...]] = contextvars.ContextVar(
     "polyp_quantization_skip", default=())
 _ONLY: contextvars.ContextVar[tuple[str, ...] | None] = contextvars.ContextVar(
@@ -81,11 +92,15 @@ def calibrating() -> bool:
 
 
 @contextlib.contextmanager
-def override(mode: Mode, scales: Mapping[str, float] | None = None,
-             skip: Sequence[str] = (), only: Sequence[str] | None = None):
+def override(mode: Mode, scales: Mapping[str, Any] | None = None,
+             skip: Sequence[str] = (), only: Sequence[str] | None = None,
+             t: jax.Array | int | None = None):
     """Set the quantization mode for a trace region (usable inside jit —
     it runs at trace time). `scales` is required for "w8a8_static";
-    `skip`/`only` filter layers by path substring."""
+    `skip`/`only` filter layers by path substring. `t` is the current
+    diffusion timestep (traced scalar or [B] array — sampling uses a
+    uniform timestep per batch, so the first element is taken); required
+    when any scale value is a per-timestep table."""
     if mode not in (None, "w8a8", "w8a8_static", "w8a8_calib"):
         raise ValueError(f"unknown quantization mode: {mode!r}")
     if mode == "w8a8_static" and scales is None:
@@ -94,11 +109,11 @@ def override(mode: Mode, scales: Mapping[str, float] | None = None,
                          "allowed and leaves every layer full-precision")
     tokens = (_MODE.set(mode), _SCALES.set(scales),
               _SKIP.set(tuple(skip)), _ONLY.set(
-                  tuple(only) if only is not None else None))
+                  tuple(only) if only is not None else None), _T.set(t))
     try:
         yield
     finally:
-        for var, tok in zip((_MODE, _SCALES, _SKIP, _ONLY), tokens):
+        for var, tok in zip((_MODE, _SCALES, _SKIP, _ONLY, _T), tokens):
             var.reset(tok)
 
 
@@ -113,12 +128,31 @@ def layer_selected(path: str | None) -> bool:
 
 
 def static_scale(path: str | None) -> jax.Array | None:
-    """The calibrated activation scale for a layer (static mode only)."""
+    """The calibrated activation scale for a layer (static mode only).
+
+    Float values are returned as fp32 scalars. Sequence/array values are
+    per-diffusion-timestep tables: the scale is gathered at the timestep
+    set via ``override(..., t=...)`` — one scalar dynamic-slice that stays
+    inside the producing fusion."""
     scales = _SCALES.get()
     if scales is None or path is None:
         return None
     val = scales.get(path)
-    return None if val is None else jnp.float32(val)
+    if val is None:
+        return None
+    if isinstance(val, (int, float)):
+        return jnp.float32(val)
+    table = jnp.asarray(val, jnp.float32)
+    if table.ndim == 0:
+        return table
+    t = _T.get()
+    if t is None:
+        raise ValueError(
+            "per-timestep static quantization scales need the current "
+            "diffusion timestep: pass quant.override(..., t=t) where t is "
+            "the (traced) timestep the model is being applied at")
+    t_idx = jnp.asarray(t, jnp.int32).reshape(-1)[0]
+    return table[jnp.clip(t_idx, 0, table.shape[0] - 1)]
 
 
 def scales_from_stats(stats_trees: Sequence[Any],
@@ -149,6 +183,37 @@ def scales_from_stats(stats_trees: Sequence[Any],
             v = float(jnp.max(jnp.asarray(value)))
             amax[path] = max(amax.get(path, 0.0), v)
     return {p: max(v * margin, 1e-12) / 127.0 for p, v in amax.items()}
+
+
+def scale_tables_from_stats(points: Sequence[tuple[int, Sequence[Any]]],
+                            num_train_timesteps: int,
+                            margin: float = 1.0) -> dict[str, list[float]]:
+    """Fold per-timestep calibration stats into per-layer, per-timestep
+    scale TABLES for the static mode.
+
+    `points` is [(t, stats_trees_at_t), ...] — each entry the sown
+    ``quant_stats`` collections observed at diffusion timestep `t` (both
+    CFG branches belong in the same entry: sampling batches them into one
+    activation tensor, so the scale must cover their union). Scales
+    between calibration points are linearly interpolated over the full
+    [0, num_train_timesteps) range; the result is JSON-serializable
+    ({path: [T floats]}) for the disk cache."""
+    if not points:
+        return {}
+    per_point: list[tuple[int, dict[str, float]]] = [
+        (int(t), scales_from_stats(trees, margin)) for t, trees in points]
+    per_point.sort(key=lambda p: p[0])
+    ts = np.asarray([t for t, _ in per_point], np.float64)
+    paths = set().union(*(d.keys() for _, d in per_point))
+    tables: dict[str, list[float]] = {}
+    grid = np.arange(num_train_timesteps, dtype=np.float64)
+    for path in sorted(paths):
+        # a path missing at some point (layer inactive there) falls back to
+        # the max over the points where it WAS seen — conservative
+        fallback = max(d[path] for _, d in per_point if path in d)
+        vals = np.asarray([d.get(path, fallback) for _, d in per_point])
+        tables[path] = np.interp(grid, ts, vals).tolist()
+    return tables
 
 
 @jax.custom_vjp

@@ -110,11 +110,13 @@ class PixelDiffusionSampler:
                                    (batch_size,) + text_embeddings.shape[-2:])
 
             def model_fn(x, t):
-                with quant.override(self.quantize, scales=self._quant_scales):
+                with quant.override(self.quantize, scales=self._quant_scales,
+                                    t=t):
                     return self.model.apply({"params": params}, x, t, ctx)
         else:
             def model_fn(x, t):
-                with quant.override(self.quantize, scales=self._quant_scales):
+                with quant.override(self.quantize, scales=self._quant_scales,
+                                    t=t):
                     return self.model.apply({"params": params}, x, t)
 
         return sample(self.sampler, model_fn, self.schedule, shape, key,
@@ -174,7 +176,8 @@ class StableDiffusionSampler:
         def raw_fn(x, t, emb):
             # quantization scoped to the UNet only (trace-time context):
             # the VAE decode below stays full-precision.
-            with quant.override(self.quantize, scales=self._quant_scales):
+            with quant.override(self.quantize, scales=self._quant_scales,
+                                t=t):
                 return self.unet.apply({"params": unet_params}, x, t, emb)
 
         model_fn = with_cfg(raw_fn, cond, uncond, self.guidance_scale)

@@ -129,8 +129,10 @@ def main(argv=None):
     parser.add_argument("--image_size", type=int, default=256)
     parser.add_argument("--steps", type=int, default=25)
     parser.add_argument("--max_batch", type=int, default=8)
-    parser.add_argument("--quantize", default=None, choices=["w8a8"],
-                        help="W8A8 UNet sampling (ops/quant.py)")
+    parser.add_argument("--quantize", default=None,
+                        choices=["w8a8", "w8a8_static"],
+                        help="W8A8 UNet sampling (ops/quant.py); _static "
+                             "calibrates per-timestep scales on first use")
     args = parser.parse_args(argv)
 
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)

@@ -213,7 +213,8 @@ def test_skip_and_only_layer_selection():
 def test_calibration_collects_and_static_mode_tracks_dynamic():
     """w8a8_calib sows per-layer activation amax; scales_from_stats keys
     follow the QConv/dense path conventions; the static mode's error vs
-    full precision is in the same band as the dynamic mode's."""
+    full precision is in the same band as the dynamic mode's — for both
+    the flat (per_timestep=False) and per-timestep-table calibrations."""
     from polyp_tpu.diffusion import DiffusionSchedule
     from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
     from polyp_tpu.models import tiny_condition_unet
@@ -221,34 +222,72 @@ def test_calibration_collects_and_static_mode_tracks_dynamic():
     unet = tiny_condition_unet(dtype=jnp.float32)
     k = jax.random.PRNGKey(0)
     x = jax.random.normal(k, (2, 8, 8, 4))
-    t = jnp.asarray([3, 7], jnp.int32)
+    t = jnp.asarray([3, 3], jnp.int32)
     ctx = jax.random.normal(jax.random.fold_in(k, 1), (2, 7, 32))
     params = unet.init(k, x, t, ctx)["params"]
     sched = DiffusionSchedule.create(10)
 
     scales = calibrate_unet_scales(unet, params, sched, (2, 8, 8, 4),
                                    cond=ctx[:1], num_steps=3,
-                                   dtype=jnp.float32)
+                                   dtype=jnp.float32, per_timestep=False)
     assert scales and all(v > 0 for v in scales.values())
     # naming conventions both for QConv (…/conv1) and dense (…/to_q, ff_…)
     assert any(p.endswith("/conv1") or p.endswith("/conv2") for p in scales)
     assert any(p.endswith("/to_q") for p in scales)
     assert any("ff_net_0_proj" in p for p in scales)
 
+    tables = calibrate_unet_scales(unet, params, sched, (2, 8, 8, 4),
+                                   cond=ctx[:1], num_steps=3,
+                                   dtype=jnp.float32)  # default: per-t
+    assert set(tables) == set(scales)
+    T = sched.num_train_timesteps
+    assert all(len(v) == T and min(v) > 0 for v in tables.values())
+    # the table's max over t recovers (up to interpolation) the flat scale
+    for p in scales:
+        assert max(tables[p]) <= scales[p] * 1.0001
+
     full = unet.apply({"params": params}, x, t, ctx)
     with quant.override("w8a8"):
         dyn = unet.apply({"params": params}, x, t, ctx)
     with quant.override("w8a8_static", scales=scales):
         stat = unet.apply({"params": params}, x, t, ctx)
+    with quant.override("w8a8_static", scales=tables, t=t):
+        stat_t = unet.apply({"params": params}, x, t, ctx)
     assert np.isfinite(np.asarray(stat)).all()
+    assert np.isfinite(np.asarray(stat_t)).all()
 
     def rel(a, b):
         return (np.linalg.norm(np.asarray(a - b))
                 / np.linalg.norm(np.asarray(b)))
 
     e_dyn, e_stat = rel(dyn, full), rel(stat, full)
+    e_stat_t = rel(stat_t, full)
     assert 0 < e_dyn < 0.1, e_dyn
     assert 0 < e_stat < max(0.15, 3 * e_dyn), (e_stat, e_dyn)
+    # per-timestep scales stay in the flat mode's error band on this tiny
+    # random model (its activation ranges are nearly t-invariant, so the
+    # two modes coincide up to interpolation noise); the t-varying payoff
+    # is measured on the real SD stack (BASELINE.md round-3 sweep)
+    assert 0 < e_stat_t <= e_stat * 1.25, (e_stat_t, e_stat)
+
+
+def test_per_timestep_tables_need_t_and_gather_correctly():
+    """Table-valued static scales: the lookup gathers the scale at the
+    override's timestep (clipped to the table), and omitting `t` is an
+    explicit error, not a silent misquantization."""
+    table = {"layer": list(np.linspace(0.5, 5.0, 10))}
+    with quant.override("w8a8_static", scales=table, t=jnp.asarray([4, 4])):
+        np.testing.assert_allclose(
+            float(quant.static_scale("layer")), table["layer"][4], rtol=1e-6)
+    with quant.override("w8a8_static", scales=table, t=999):
+        np.testing.assert_allclose(  # out-of-range t clips to the last entry
+            float(quant.static_scale("layer")), table["layer"][-1], rtol=1e-6)
+    with quant.override("w8a8_static", scales=table):
+        with pytest.raises(ValueError, match="timestep"):
+            quant.static_scale("layer")
+    # float scales keep working without t
+    with quant.override("w8a8_static", scales={"layer": 0.25}):
+        assert float(quant.static_scale("layer")) == 0.25
 
 
 def test_static_mode_without_scales_refused_but_empty_ok():
@@ -291,3 +330,70 @@ def test_sensitivity_sweep_quick_mode():
     assert (report["w8a8_skip_worst1"]["rel_l2"]
             <= report["full_w8a8_rel_l2"] + 0.02)
     assert isinstance(report["full_w8a8_gate_pass"], bool)
+
+
+@pytest.mark.slow
+def test_sd_sampler_static_quant_calibrates_and_caches(
+        tmp_path, monkeypatch):
+    """The product path for w8a8_static: StableDiffusionSampler calibrates
+    per-timestep tables on first use, persists them under POLYP_QUANT_CACHE
+    (format-versioned payload), samples finitely close to full precision,
+    and a second sampler instance reuses the disk cache instead of
+    recalibrating."""
+    import json
+
+    from polyp_tpu.cli.common import load_sd_stack
+    from polyp_tpu.cli.sd_common import make_sampler
+    from polyp_tpu.configs import DiffusionConfig
+    from polyp_tpu.diffusion import calibrate
+
+    monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+    monkeypatch.setenv("POLYP_QUANT_CACHE", str(tmp_path))
+    stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+    cfg = DiffusionConfig(image_size=32, num_inference_steps=2,
+                          sampler="ddim", quantize="w8a8_static")
+    key = jax.random.PRNGKey(4)
+    full_cfg = DiffusionConfig(image_size=32, num_inference_steps=2,
+                               sampler="ddim")
+    dyn_cfg = DiffusionConfig(image_size=32, num_inference_steps=2,
+                              sampler="ddim", quantize="w8a8")
+    full = make_sampler(stack, stack.unet_params,
+                        stack.text_params["params"], full_cfg)
+    dyn = make_sampler(stack, stack.unet_params,
+                       stack.text_params["params"], dyn_cfg)
+    sq = make_sampler(stack, stack.unet_params,
+                      stack.text_params["params"], cfg)
+    a = np.asarray(full.for_prompt("polyp")(4, key), np.float32)
+    d = np.asarray(dyn.for_prompt("polyp")(4, key), np.float32)
+    b = np.asarray(sq.for_prompt("polyp")(4, key), np.float32)
+    assert np.isfinite(b).all()
+
+    def rel(x, y):
+        return np.linalg.norm(x - y) / np.linalg.norm(y)
+
+    # a tiny RANDOM-init UNet is a worst case for int8 (its dynamic-mode
+    # error vs full precision is already ~0.2 at 2 DDIM steps; calibrated
+    # static ~0.65), so the meaningful bound is relative to dynamic:
+    # calibrated-static must stay within a small multiple, not an order of
+    # magnitude worse — flat (non-per-timestep) scales measure ~0.82 here
+    # and a table indexing/coverage bug measures far beyond that. Real-SD
+    # fidelity is tools/quant_sensitivity.py (BASELINE.md round-3 sweep).
+    assert rel(b, a) <= 4.0 * rel(d, a), (rel(b, a), rel(d, a))
+
+    cache_files = list(tmp_path.glob("quant_scales_*.json"))
+    assert len(cache_files) == 1
+    payload = json.loads(cache_files[0].read_text())
+    assert payload["format"] == calibrate.CACHE_FORMAT == 2
+    T = sq.schedule.num_train_timesteps
+    assert payload["scales"] and all(
+        isinstance(v, list) and len(v) == T
+        for v in payload["scales"].values())
+
+    # second instance must hit the disk cache, not recalibrate
+    def boom(*a, **k):
+        raise AssertionError("recalibrated despite a valid disk cache")
+    monkeypatch.setattr(calibrate, "calibrate_unet_scales", boom)
+    sq2 = make_sampler(stack, stack.unet_params,
+                       stack.text_params["params"], cfg)
+    c = np.asarray(sq2.for_prompt("polyp")(4, key), np.float32)
+    np.testing.assert_array_equal(b, c)

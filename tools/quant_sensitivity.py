@@ -72,7 +72,7 @@ def run_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
         def generate(uparams, vparams, cond, uncond, key):
             def raw_fn(z, tt, emb):
                 with quant.override(mode, scales=scales, skip=skip,
-                                    only=only):
+                                    only=only, t=tt):
                     return unet.apply({"params": uparams}, z, tt, emb)
 
             model_fn = with_cfg(raw_fn, cond, uncond, 7.5)
