@@ -14,6 +14,7 @@ surfaces as the reference's PEFT configs (config_diffusion.py:34-37).
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -281,6 +282,19 @@ class FeedForward(nn.Module):
                          reduce_fn=jnp.maximum)
             return quant.maybe_quantized_dense(h, w, b, self.dtype,
                                                f"{base}/{name}")
+
+        # Full-precision TPU path: one Pallas kernel for matmul→gelu→matmul
+        # (ops/fused_geglu.py — keeps the [T,2H] intermediate in VMEM).
+        # Trace-time flag like the quant/fused-MHA dispatches: re-jit after
+        # changing POLYP_FUSED_GEGLU. The quant/calibration paths keep the
+        # per-layer dense hooks below.
+        from polyp_tpu.ops import fused_geglu as fg
+        if (quant.quantization() is None
+                and os.environ.get("POLYP_FUSED_GEGLU", "1") != "0"
+                and fg.supported(x, w0, w2)):
+            return fg.geglu(x.astype(self.dtype), w0.astype(self.dtype),
+                            b0.astype(self.dtype), w2.astype(self.dtype),
+                            b2.astype(self.dtype))
 
         hidden = proj(x, w0, b0, "ff_net_0_proj")
         a, gate = jnp.split(hidden, 2, axis=-1)

@@ -1,16 +1,29 @@
 """Fused GEGLU feed-forward Pallas kernel.
 
-The SD transformer FF is x@W1 → split(a, gate) → a·gelu(gate) → @W2. XLA
-materializes the [T, 8C] intermediate in HBM twice (write + read); this
-kernel keeps it in VMEM: grid over token tiles, both weight matrices
-resident, one HBM write of the [T, C] result.
+The SD transformer FF is x@W1 → split(a, gate) → a·gelu(gate) → @W2
+(reference: diffusers GEGLU inside BasicTransformerBlock — see
+models/unet_blocks.py FeedForward; gelu is the exact erf form, a value
+-parity requirement proven by tests/test_torch_block_goldens.py). XLA
+runs it as matmul → standalone elementwise fusion (erf on the VPU) →
+matmul, which (a) materializes the [T, 2H] intermediate in HBM twice and
+(b) serializes the erf pass after the first matmul instead of
+overlapping VPU with MXU. This kernel does both matmuls and the gelu in
+one pallas_call: grid over (token tiles × hidden tiles), weights
+streamed per hidden tile, f32 accumulation of the second matmul in VMEM
+scratch — the gelu of tile j runs on the VPU while the MXU works
+adjacent tiles, and the intermediate never leaves VMEM.
 
-Shapes (level-1 SD blocks): T=1024 tokens, C=320, hidden 2×4C=2560 — W1
-(320×2560×bf16 = 1.6 MB) + W2 (1280×320 = 0.8 MB) + a [block_t, 2560] f32
-accumulator fit comfortably in ~16 MB VMEM.
+Hidden tiling is what makes the SD shapes fit: level-2 blocks have
+C=1280, 2H=10240 — 39 MB of weights, far beyond VMEM — but a
+(block_h=512) column slice of W1 plus the matching row slice of W2 is
+~3.9 MB. The a/gate halves of W1 are passed pre-split so each hidden
+tile pairs its a-columns with its gate-columns.
 
-Used by unet_blocks.FeedForward when profitable (see `supported`); falls
-back to plain XLA otherwise. Exposed for benchmarking either way.
+Measured (v5e, CFG batch 16, erf gelu): 1.01/0.89/1.01 ms vs XLA
+1.56/1.35/1.30 ms at the three SD FF shape classes — see BASELINE.md
+round-3. Dispatched by models/unet_blocks.py FeedForward when
+`supported` (kill switch POLYP_FUSED_GEGLU=0 — trace-time, like the
+quant/fused-MHA flags).
 """
 
 from __future__ import annotations
@@ -23,65 +36,129 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_T = 256
+DEFAULT_BLOCK_H = 512
+
+
+def _tile(total: int, want: int, unit: int) -> int:
+    """Largest divisor of `total` that is ≤ want and a multiple of `unit`
+    (falls back to `total` when no such divisor exists)."""
+    want = min(want, total)
+    for cand in range(want, unit - 1, -1):
+        if total % cand == 0 and cand % unit == 0:
+            return cand
+    return total
 
 
 def supported(x: jax.Array, w1: jax.Array, w2: jax.Array) -> bool:
     if x.ndim != 3:
         return False
-    t = x.shape[1]
+    nt = x.shape[0] * x.shape[1]
+    c = x.shape[2]
     hidden2 = w1.shape[1]
-    return (jax.default_backend() == "tpu" and t % 128 == 0
-            and hidden2 % 256 == 0 and w1.shape[0] % 128 == 0
-            # weights must fit VMEM alongside the token tile
-            and (w1.size + w2.size) * 2 < 8 * 1024 * 1024)
+    return (jax.default_backend() == "tpu"
+            and nt % 128 == 0 and hidden2 % 256 == 0 and c % 64 == 0)
 
 
-def _geglu_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _erf(z: jax.Array) -> jax.Array:
+    """erf via Abramowitz & Stegun 7.1.26 (method |err| ≤ 1.5e-7, ~2.7e-6
+    observed in f32 arithmetic — far below the bf16 output resolution, so
+    exact-gelu parity is preserved). Mosaic TPU lowers exp but not
+    erf/erfc, hence the in-kernel polynomial."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + p * az)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    e = 1.0 - poly * jnp.exp(-az * az)
+    return jnp.sign(z) * e
+
+
+def _exact_gelu(x: jax.Array) -> jax.Array:
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _geglu_kernel(x_ref, wa_ref, ba_ref, wg_ref, bg_ref, w2_ref, b2_ref,
+                  o_ref, acc_ref, *, n_h: int):
+    j = pl.program_id(1)
     x = x_ref[...]
-    h = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+    a = jax.lax.dot_general(x, wa_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    h = h + b1_ref[...].astype(jnp.float32)
-    a, gate = jnp.split(h, 2, axis=-1)
-    g = a * jax.nn.gelu(gate, approximate=False)
-    out = jax.lax.dot_general(g.astype(x.dtype), w2_ref[...],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    o_ref[...] = (out + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+    g = jax.lax.dot_general(x, wg_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    a = a + ba_ref[...].astype(jnp.float32)
+    g = g + bg_ref[...].astype(jnp.float32)
+    h = a * _exact_gelu(g)  # exact-form gelu: import parity
+    part = jax.lax.dot_general(h.astype(x.dtype), w2_ref[...],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[...] += part
+
+    @pl.when(j == n_h - 1)
+    def _emit():
+        o_ref[...] = (acc_ref[...]
+                      + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_t",))
+@functools.partial(jax.jit, static_argnames=("block_t", "block_h"))
 def fused_geglu(x: jax.Array, w1: jax.Array, b1: jax.Array,
                 w2: jax.Array, b2: jax.Array,
-                block_t: int = DEFAULT_BLOCK_T) -> jax.Array:
-    """x: [N, T, C]; w1: [C, 2H]; w2: [H, C]. Returns [N, T, C]."""
+                block_t: int = DEFAULT_BLOCK_T,
+                block_h: int = DEFAULT_BLOCK_H) -> jax.Array:
+    """x: [N, T, C]; w1: [C, 2H]; b1: [2H]; w2: [H, C]; b2: [C].
+    Returns [N, T, C] == reference_geglu to fp rounding."""
     n, t, c = x.shape
-    hidden2 = w1.shape[1]
-    block_t = min(block_t, t)
+    hidden = w1.shape[1] // 2
+    # a/gate column halves pre-split so a hidden tile j covers matching
+    # slices of both (the split axis is the W1 output axis)
+    wa, wg = w1[:, :hidden], w1[:, hidden:]
+    ba, bg = b1[:hidden].reshape(1, hidden), b1[hidden:].reshape(1, hidden)
+    b2r = b2.reshape(1, c)
+
+    block_t = _tile(n * t, block_t, 128)
+    block_h = _tile(hidden, block_h, 128)
+    n_h = hidden // block_h
+    grid = ((n * t) // block_t, n_h)
+
     xf = x.reshape(n * t, c)
-    grid = (pl.cdiv(n * t, block_t),)
     out = pl.pallas_call(
-        _geglu_kernel,
+        functools.partial(_geglu_kernel, n_h=n_h),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_t, c), lambda i: (i, 0),
+            pl.BlockSpec((block_t, c), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, hidden2), lambda i: (0, 0),
+            pl.BlockSpec((c, block_h), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden2,), lambda i: (0,),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden2 // 2, c), lambda i: (0, 0),
+            pl.BlockSpec((c, block_h), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_h, c), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_t, c), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_t, c), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * t, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_t, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * t * c * hidden2 + 2 * n * t * (hidden2 // 2) * c,
+            flops=2 * n * t * c * 2 * hidden + 2 * n * t * hidden * c,
             bytes_accessed=(xf.size + w1.size + w2.size + xf.size) * 2,
-            transcendentals=n * t * hidden2 // 2,
+            transcendentals=n * t * hidden,
         ),
-    )(xf, w1, b1, w2, b2)
+    )(xf, wa, ba, wg, bg, w2, b2r)
     return out.reshape(n, t, c)
 
 
@@ -90,3 +167,34 @@ def reference_geglu(x, w1, b1, w2, b2):
     h = x @ w1 + b1
     a, gate = jnp.split(h, 2, axis=-1)
     return (a * jax.nn.gelu(gate, approximate=False)) @ w2 + b2
+
+
+# (block_t, block_h) per SD channel width — the best configs of the v5e
+# block-size sweep (BASELINE.md round-3); _tile() shrinks them safely for
+# other shapes. C=1280 runs (512, 512): (1024, 512) wins ~3% standalone
+# but exceeds the 16 MB scoped-VMEM limit inside the compiled UNet (XLA
+# co-schedules neighboring buffers into the same scope).
+_BLOCKS = {320: (1024, 1024), 640: (512, 512), 1280: (512, 512)}
+
+
+@jax.custom_vjp
+def geglu(x: jax.Array, w1: jax.Array, b1: jax.Array,
+          w2: jax.Array, b2: jax.Array) -> jax.Array:
+    """Differentiable fused-GEGLU entry: Pallas kernel forward, XLA-math
+    recompute backward (same pattern as ops/flash custom_vjp — the
+    backward re-derives grads through `reference_geglu`, so training
+    through the fused dispatch matches the unfused path to fp rounding)."""
+    bt, bh = _BLOCKS.get(x.shape[-1], (DEFAULT_BLOCK_T, DEFAULT_BLOCK_H))
+    return fused_geglu(x, w1, b1, w2, b2, block_t=bt, block_h=bh)
+
+
+def _geglu_fwd(x, w1, b1, w2, b2):
+    return geglu(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _geglu_bwd(res, g):
+    out, vjp = jax.vjp(reference_geglu, *res)
+    return vjp(g.astype(out.dtype))
+
+
+geglu.defvjp(_geglu_fwd, _geglu_bwd)

@@ -87,7 +87,7 @@ def main() -> None:
     @jax.jit
     def chain(params, lat, t, ctx):
         def body(h, _):
-            with quant.override(mode, scales=scales):
+            with quant.override(mode, scales=scales, t=t):
                 eps = unet.apply({"params": params}, h, t, ctx)
             return (h * 0.98 + eps.astype(h.dtype) * 0.01).astype(h.dtype), None
         h, _ = jax.lax.scan(body, lat, None, length=iters)
