@@ -40,18 +40,27 @@ def _sync(x) -> float:
     return float(jax.device_get(jnp.sum(x.astype(jnp.float32))))
 
 
-def time_op(f, *args, iters: int = 20, reps: int = 3) -> float:
-    """Best-of reps of `iters` chained executions (one sync per rep)."""
+def time_op(f, *args, iters: int = 300, reps: int = 3) -> float:
+    """Best-of reps of `iters` chained executions (one sync per rep).
+    The chain carries f's output into the next input (data dependence
+    defeats the (executable, args) memoization — verify-skill trap #2);
+    f is responsible for keeping its output magnitude/dtype stable.
+    300 iterations amortize the ~29 ms axon-tunnel sync round trip to
+    <0.1 ms — at 20 iterations every sub-ms op 'measures' ~1.5 ms
+    (verify-skill trap #3, re-hit by this tool's first run)."""
     @jax.jit
     def chained(*a):
         def body(i, acc):
-            return f(acc * (1 + 1e-6), *a[1:])
+            return f(acc, *a[1:])
         return jax.lax.fori_loop(0, iters, body, a[0])
 
     _sync(chained(*args))
     best = 1e9
     for r in range(reps):
-        a0 = args[0] + r * 1e-4
+        if jnp.issubdtype(args[0].dtype, jnp.floating):
+            a0 = args[0] + r * 1e-4
+        else:
+            a0 = jnp.bitwise_xor(args[0], r)
         _sync(a0)
         t0 = time.perf_counter()
         _sync(chained(a0, *args[1:]))
@@ -76,10 +85,10 @@ def bench_conv(batch: int, spatial: int, c: int, dtype) -> dict:
             x, w, (1, 1), "SAME", dimension_numbers=dn,
             preferred_element_type=(jnp.int32 if dtype == jnp.int8
                                     else jnp.bfloat16))
-        # keep the chain dtype-stable for fori_loop
+        # keep the chain dtype- and magnitude-stable for the fori_loop
         if dtype == jnp.int8:
-            y = jnp.clip(y // 1024, -127, 127).astype(jnp.int8)
-        return y
+            return jnp.clip(y // 1024, -127, 127).astype(jnp.int8)
+        return y * jnp.bfloat16(1.0 / (3.0 * c ** 0.5))
 
     sec = time_op(conv, x, w)
     flops = 2 * batch * spatial * spatial * 9 * c * c
@@ -176,7 +185,10 @@ def run(batch: int, steps: int, image_size: int,
 
     report["ceiling_samples_per_sec"] = {
         "bf16": round(ceiling(max(flop_floor_bf16_ms, mem_floor_ms)), 2),
-        "int8": round(ceiling(max(flop_floor_int8_ms, mem_floor_ms)), 2),
+        # cost_analysis bytes are for the bf16 program; int8 roughly halves
+        # matmul/conv operand traffic, so its true mem floor sits well below
+        # the bf16 one — report the flops-only ceiling and label it.
+        "int8_flops_only": round(ceiling(flop_floor_int8_ms), 2),
     }
     if measured:
         report["measured"] = measured
