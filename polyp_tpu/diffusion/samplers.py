@@ -25,14 +25,29 @@ Samplers:
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from polyp_tpu.diffusion.schedule import DiffusionSchedule, inference_timesteps
+from polyp_tpu.ops import dispatch
 
 ModelFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def _inference_scope(fn):
+    """Samplers are gradient-free by construction, so they trace under
+    ops/dispatch.inference() — enabling the inference-only fused kernels
+    (fused GEGLU) that training must not dispatch (see ops/dispatch.py)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with dispatch.inference():
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def with_cfg(raw_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
@@ -64,6 +79,7 @@ def _bcast_t(t: jax.Array, n: int) -> jax.Array:
 # DDPM ancestral
 # ---------------------------------------------------------------------------
 
+@_inference_scope
 def ddpm_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                 shape: tuple[int, ...], key: jax.Array,
                 num_steps: int | None = None,
@@ -108,6 +124,7 @@ def ddpm_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
 # DDIM
 # ---------------------------------------------------------------------------
 
+@_inference_scope
 def ddim_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                 shape: tuple[int, ...], key: jax.Array,
                 num_steps: int = 50, eta: float = 0.0,
@@ -166,6 +183,7 @@ def _lambda_tables(schedule: DiffusionSchedule, ts: jax.Array):
     return alpha, sigma, lam
 
 
+@_inference_scope
 def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                     shape: tuple[int, ...], key: jax.Array,
                     num_steps: int = 25) -> jax.Array:
@@ -208,6 +226,7 @@ def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
     return x
 
 
+@_inference_scope
 def unipc_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                  shape: tuple[int, ...], key: jax.Array,
                  num_steps: int = 25, use_corrector: bool = True) -> jax.Array:

@@ -283,18 +283,39 @@ class FeedForward(nn.Module):
             return quant.maybe_quantized_dense(h, w, b, self.dtype,
                                                f"{base}/{name}")
 
-        # Full-precision TPU path: one Pallas kernel for matmul→gelu→matmul
+        # Fused TPU paths: one Pallas kernel for matmul→gelu→matmul
         # (ops/fused_geglu.py — keeps the [T,2H] intermediate in VMEM).
-        # Trace-time flag like the quant/fused-MHA dispatches: re-jit after
-        # changing POLYP_FUSED_GEGLU. The quant/calibration paths keep the
-        # per-layer dense hooks below.
+        # Inference-scoped (ops/dispatch.py — the samplers set the flag):
+        # training traces the plain XLA program below, whose autodiff
+        # beats any custom_vjp around the kernel (A/B in BASELINE.md
+        # round-3). Full precision uses `geglu`; w8a8_static uses the
+        # int8-MXU variant when BOTH layers are quantizable under the
+        # active skip/only filters (mixed configs fall back to
+        # per-layer). Trace-time flag like the quant/fused-MHA
+        # dispatches: re-jit after changing POLYP_FUSED_GEGLU. Dynamic
+        # w8a8 and calibration keep the per-layer dense hooks below (the
+        # dynamic scale depends on the not-yet-computed intermediate).
+        from polyp_tpu.ops import dispatch
         from polyp_tpu.ops import fused_geglu as fg
-        if (quant.quantization() is None
+        if (dispatch.in_inference()
                 and os.environ.get("POLYP_FUSED_GEGLU", "1") != "0"
                 and fg.supported(x, w0, w2)):
-            return fg.geglu(x.astype(self.dtype), w0.astype(self.dtype),
-                            b0.astype(self.dtype), w2.astype(self.dtype),
-                            b2.astype(self.dtype))
+            if quant.quantization() is None:
+                return fg.geglu(x.astype(self.dtype), w0.astype(self.dtype),
+                                b0.astype(self.dtype), w2.astype(self.dtype),
+                                b2.astype(self.dtype))
+            p0, p2 = f"{base}/ff_net_0_proj", f"{base}/ff_net_2"
+            if (quant.quantization() == "w8a8_static"
+                    and quant.dense_quantizable(*w0.shape, p0)
+                    and quant.dense_quantizable(*w2.shape, p2)):
+                s0, s2 = quant.static_scale(p0), quant.static_scale(p2)
+                # a missing calibrated scale (stale cache, renamed layer)
+                # falls through to the per-layer path, which handles it
+                if s0 is not None and s2 is not None:
+                    return fg.geglu_w8a8(
+                        x.astype(self.dtype), w0.astype(self.dtype),
+                        b0.astype(self.dtype), w2.astype(self.dtype),
+                        b2.astype(self.dtype), s0, s2)
 
         hidden = proj(x, w0, b0, "ff_net_0_proj")
         a, gate = jnp.split(hidden, 2, axis=-1)

@@ -22,8 +22,16 @@ tile pairs its a-columns with its gate-columns.
 Measured (v5e, CFG batch 16, erf gelu): 1.01/0.89/1.01 ms vs XLA
 1.56/1.35/1.30 ms at the three SD FF shape classes — see BASELINE.md
 round-3. Dispatched by models/unet_blocks.py FeedForward when
-`supported` (kill switch POLYP_FUSED_GEGLU=0 — trace-time, like the
-quant/fused-MHA flags).
+`supported` AND inside ops/dispatch.inference() — the samplers set the
+scope; training traces the plain XLA path, whose autodiff beats any
+custom_vjp around the kernel (A/B in BASELINE.md round-3). Kill switch
+POLYP_FUSED_GEGLU=0 (trace-time, like the quant/fused-MHA flags).
+
+`fused_geglu_w8a8` is the static-quant variant: in-VMEM activation
+quantize + s8×s8→s32 MXU dots with int32 cross-tile accumulation,
+taking the two calibrated activation scales as operands — it removes
+the FF's standalone quantize passes, the largest share of the int8 tax
+(w8a8_static batch-16 e2e 7.60 → 8.08 samples/sec/chip).
 """
 
 from __future__ import annotations
@@ -169,6 +177,164 @@ def reference_geglu(x, w1, b1, w2, b2):
     return (a * jax.nn.gelu(gate, approximate=False)) @ w2 + b2
 
 
+def _geglu_q_kernel(x_ref, wa_ref, sa_ref, ba_ref, wg_ref, sg_ref, bg_ref,
+                    w2_ref, s2_ref, b2_ref, sx_ref, sh_ref,
+                    o_ref, acc_ref, *, n_h: int):
+    """W8A8-static variant: int8 MXU dots with in-kernel activation
+    quantize. The second matmul accumulates in int32 across hidden tiles
+    (exact — ≤ 127²·H ≈ 8e7 « 2³¹), dequantized once at emit."""
+    j = pl.program_id(1)
+    sx = sx_ref[0, 0]
+    xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) / sx),
+                  -127, 127).astype(jnp.int8)
+    a32 = jax.lax.dot_general(xq, wa_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    g32 = jax.lax.dot_general(xq, wg_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    a = (a32.astype(jnp.float32) * (sx * sa_ref[...].astype(jnp.float32))
+         + ba_ref[...].astype(jnp.float32))
+    g = (g32.astype(jnp.float32) * (sx * sg_ref[...].astype(jnp.float32))
+         + bg_ref[...].astype(jnp.float32))
+    h = a * _exact_gelu(g)
+    sh = sh_ref[0, 0]
+    hq = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
+    part = jax.lax.dot_general(hq, w2_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[...] += part
+
+    @pl.when(j == n_h - 1)
+    def _emit():
+        o_ref[...] = (acc_ref[...].astype(jnp.float32)
+                      * (sh * s2_ref[...].astype(jnp.float32))
+                      + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "block_h"))
+def fused_geglu_w8a8(x: jax.Array, w1: jax.Array, b1: jax.Array,
+                     w2: jax.Array, b2: jax.Array,
+                     act_scale1: jax.Array, act_scale2: jax.Array,
+                     block_t: int = DEFAULT_BLOCK_T,
+                     block_h: int = DEFAULT_BLOCK_H) -> jax.Array:
+    """W8A8-static fused GEGLU: same shapes/contract as `fused_geglu` plus
+    the two calibrated activation scales (`act_scale1` for the x→W1 input,
+    `act_scale2` for the a·gelu(gate)→W2 input — the quant paths
+    .../ff_net_0_proj and .../ff_net_2). Weight quantization (symmetric
+    per-output-channel, ops/quant.py semantics) happens outside the kernel
+    so XLA hoists it out of the sampling scan; activations quantize
+    in-VMEM, so the int8 tax's standalone clamp/convert pass disappears
+    for the FF. Matches the per-layer w8a8_dense path to bf16 rounding
+    (the kernel keeps dequantized intermediates in f32)."""
+    from polyp_tpu.ops import quant
+
+    n, t, c = x.shape
+    hidden = w1.shape[1] // 2
+    wq1, sw1 = quant.quantize_weight(w1, (0,))      # sw1: [1, 2H]
+    wq2, sw2 = quant.quantize_weight(w2, (0,))      # sw2: [1, C]
+    wa, wg = wq1[:, :hidden], wq1[:, hidden:]
+    sa, sg = sw1[:, :hidden], sw1[:, hidden:]
+    ba, bg = b1[:hidden].reshape(1, hidden), b1[hidden:].reshape(1, hidden)
+    b2r = b2.reshape(1, c)
+    sx = jnp.asarray(act_scale1, jnp.float32).reshape(1, 1)
+    sh = jnp.asarray(act_scale2, jnp.float32).reshape(1, 1)
+
+    block_t = _tile(n * t, block_t, 128)
+    block_h = _tile(hidden, block_h, 128)
+    n_h = hidden // block_h
+    grid = ((n * t) // block_t, n_h)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_geglu_q_kernel, n_h=n_h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_h, c), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            full((1, c)),
+            full((1, c)),
+            full((1, 1)),
+            full((1, 1)),
+        ],
+        out_specs=pl.BlockSpec((block_t, c), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * t, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_t, c), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * t * c * 2 * hidden + 2 * n * t * hidden * c,
+            bytes_accessed=(x.size * 2 + wq1.size + wq2.size
+                            + x.size * 2),
+            transcendentals=n * t * hidden,
+        ),
+    )(x.reshape(n * t, c), wa, sa, ba, wg, sg, bg, wq2, sw2, b2r, sx, sh)
+    return out.reshape(n, t, c)
+
+
+@jax.custom_vjp
+def geglu_w8a8(x, w1, b1, w2, b2, act_scale1, act_scale2):
+    """Dispatch entry for the static-quant FF. Inference-only like every
+    w8a8 path: the custom_vjp below refuses differentiation outright (the
+    int8 rounding has zero gradient — silent no-learning otherwise; same
+    contract as ops/quant.py `_inference_only`)."""
+    bt, bh = _BLOCKS.get(x.shape[-1], (DEFAULT_BLOCK_T, DEFAULT_BLOCK_H))
+    return fused_geglu_w8a8(x, w1, b1, w2, b2,
+                            act_scale1, act_scale2, block_t=bt, block_h=bh)
+
+
+def _geglu_w8a8_fwd(*args):
+    return geglu_w8a8(*args), None
+
+
+def _geglu_w8a8_bwd(_, g):
+    raise NotImplementedError(
+        "the fused w8a8 GEGLU path is inference-only: int8 activation "
+        "rounding has zero gradient. Train in full precision (the "
+        "quantized modes are sampling-time optimizations).")
+
+
+geglu_w8a8.defvjp(_geglu_w8a8_fwd, _geglu_w8a8_bwd)
+
+
+def reference_geglu_w8a8(x, w1, b1, w2, b2, act_scale1, act_scale2,
+                         out_dtype=None):
+    """The per-layer static-quant FF the kernel replaces (composition of
+    quant.w8a8_dense exactly as FeedForward's proj() does it) — the parity
+    oracle for tests."""
+    from polyp_tpu.ops import quant
+
+    out_dtype = out_dtype or x.dtype
+    h = (quant.w8a8_dense(x, w1, out_dtype, jnp.float32(act_scale1))
+         + b1.astype(out_dtype))
+    a, gate = jnp.split(h, 2, axis=-1)
+    return (quant.w8a8_dense(a * jax.nn.gelu(gate, approximate=False), w2,
+                             out_dtype, jnp.float32(act_scale2))
+            + b2.astype(out_dtype))
+
+
 # (block_t, block_h) per SD channel width — the best configs of the v5e
 # block-size sweep (BASELINE.md round-3); _tile() shrinks them safely for
 # other shapes. C=1280 runs (512, 512): (1024, 512) wins ~3% standalone
@@ -180,21 +346,38 @@ _BLOCKS = {320: (1024, 1024), 640: (512, 512), 1280: (512, 512)}
 @jax.custom_vjp
 def geglu(x: jax.Array, w1: jax.Array, b1: jax.Array,
           w2: jax.Array, b2: jax.Array) -> jax.Array:
-    """Differentiable fused-GEGLU entry: Pallas kernel forward, XLA-math
-    recompute backward (same pattern as ops/flash custom_vjp — the
-    backward re-derives grads through `reference_geglu`, so training
-    through the fused dispatch matches the unfused path to fp rounding)."""
+    """Differentiable fused-GEGLU entry. Primal (sampling) calls run the
+    Pallas kernel; DIFFERENTIATED calls take the plain XLA forward and
+    save the [T, 2H] pre-activation for backward instead — the kernel's
+    VMEM-resident intermediate is unrecoverable, and an A/B on the SD
+    LoRA train step measured the recompute backward at 117.2 vs the
+    unfused path's 123.4 img/s (BASELINE.md round-3). Training through
+    the fused dispatch is therefore *identical* math and cost to the
+    unfused path; only inference sees the kernel."""
     bt, bh = _BLOCKS.get(x.shape[-1], (DEFAULT_BLOCK_T, DEFAULT_BLOCK_H))
     return fused_geglu(x, w1, b1, w2, b2, block_t=bt, block_h=bh)
 
 
+def _geglu_tail(h, w2, b2):
+    """out as a function of the saved pre-activation (backward re-derives
+    only cheap elementwise gelu work, no matmul recompute)."""
+    a, gate = jnp.split(h, 2, axis=-1)
+    return (a * jax.nn.gelu(gate, approximate=False)) @ w2 + b2
+
+
 def _geglu_fwd(x, w1, b1, w2, b2):
-    return geglu(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+    h = x @ w1 + b1
+    return _geglu_tail(h, w2, b2), (x, w1, w2, b2, h)
 
 
 def _geglu_bwd(res, g):
-    out, vjp = jax.vjp(reference_geglu, *res)
-    return vjp(g.astype(out.dtype))
+    x, w1, w2, b2, h = res
+    out, vjp = jax.vjp(_geglu_tail, h, w2, b2)
+    dh, dw2, db2 = vjp(g.astype(out.dtype))
+    dx = (dh @ w1.T).astype(x.dtype)
+    dw1 = jnp.einsum("ntc,nth->ch", x, dh).astype(w1.dtype)
+    db1 = jnp.sum(dh, axis=(0, 1)).astype(w1.dtype)
+    return dx, dw1, db1, dw2, db2
 
 
 geglu.defvjp(_geglu_fwd, _geglu_bwd)

@@ -138,15 +138,69 @@ def test_fused_geglu_is_differentiable():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_fused_geglu_w8a8_matches_per_layer_path_interpret():
+    """The int8 fused FF == the per-layer w8a8_dense composition it
+    replaces (interpret mode), including a hidden-tiled case exercising
+    the int32 accumulation across grid steps."""
+    from unittest import mock
+
+    import polyp_tpu.ops.fused_geglu as fg
+
+    x, w1, b1, w2, b2 = _geglu_case(jax.random.PRNGKey(7))
+    # calibrated-style scales: amax/127 with a little headroom
+    s1 = float(jnp.max(jnp.abs(x))) * 1.05 / 127.0
+    href = x @ w1 + b1
+    a, gate = jnp.split(href, 2, axis=-1)
+    s2 = float(jnp.max(jnp.abs(a * jax.nn.gelu(gate, approximate=False)))
+               ) * 1.05 / 127.0
+
+    ref = fg.reference_geglu_w8a8(x, w1, b1, w2, b2, s1, s2)
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        one = fg.fused_geglu_w8a8.__wrapped__(x, w1, b1, w2, b2, s1, s2,
+                                              block_t=128, block_h=128)
+        tiled = fg.fused_geglu_w8a8.__wrapped__(x, w1, b1, w2, b2, s1, s2,
+                                                block_t=128, block_h=64)
+    # both are int8 programs; they differ from each other only by f32-vs-
+    # bf16 dequant rounding, and from full precision by quantization noise
+    full = fg.reference_geglu(x, w1, b1, w2, b2)
+
+    def rel(p, q):
+        return float(np.linalg.norm(np.asarray(p - q))
+                     / np.linalg.norm(np.asarray(q)))
+
+    assert rel(one, ref) < 0.01, rel(one, ref)
+    assert rel(tiled, ref) < 0.01, rel(tiled, ref)
+    assert rel(one, full) < 3 * max(rel(ref, full), 1e-3), \
+        (rel(one, full), rel(ref, full))
+
+
+def test_fused_geglu_w8a8_refuses_gradients():
+    """geglu_w8a8 sits on the inference-only int8 path: differentiating
+    through it must raise, not silently return zero-ish grads."""
+    from unittest import mock
+
+    import polyp_tpu.ops.fused_geglu as fg
+
+    x, w1, b1, w2, b2 = _geglu_case(jax.random.PRNGKey(8))
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        with pytest.raises(NotImplementedError, match="inference-only"):
+            jax.grad(lambda x: jnp.sum(
+                fg.geglu_w8a8(x, w1, b1, w2, b2, 0.01, 0.01)))(x)
+
+
 def test_feedforward_dispatches_fused_geglu(monkeypatch):
-    """FeedForward routes through ops/fused_geglu.geglu when supported and
-    the flag is on; POLYP_FUSED_GEGLU=0 and any active quant mode bypass.
+    """FeedForward routes through ops/fused_geglu.geglu when supported,
+    the flag is on, AND the trace is inside ops/dispatch.inference() (the
+    samplers set it); outside that scope — i.e. every training trace —
+    POLYP_FUSED_GEGLU=0, and any active quant mode all bypass.
     (CPU: `supported` is forced True and the kernel runs interpreted.)"""
     from unittest import mock
 
     import polyp_tpu.ops.fused_geglu as fg
     from polyp_tpu.models.unet_blocks import FeedForward
-    from polyp_tpu.ops import quant
+    from polyp_tpu.ops import dispatch, quant
 
     ff = FeedForward(dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 64), jnp.float32)
@@ -163,7 +217,8 @@ def test_feedforward_dispatches_fused_geglu(monkeypatch):
     monkeypatch.setattr(fg, "supported", lambda *a: True)
     monkeypatch.setattr(fg, "geglu", spy)
     with mock.patch.object(pl, "pallas_call",
-                           functools.partial(pl.pallas_call, interpret=True)):
+                           functools.partial(pl.pallas_call, interpret=True)), \
+            dispatch.inference():
         monkeypatch.setenv("POLYP_FUSED_GEGLU", "1")
         fused = ff.apply(params, x)
         assert calls, "fused GEGLU was not dispatched"
@@ -179,7 +234,53 @@ def test_feedforward_dispatches_fused_geglu(monkeypatch):
         monkeypatch.setenv("POLYP_FUSED_GEGLU", "1")
         with quant.override("w8a8"):
             ff.apply(params, x)
-        assert not calls, "quant mode must use the per-layer dense path"
+        assert not calls, "dynamic quant must use the per-layer dense path"
+
+        # static quant routes to the int8 kernel when BOTH layers have
+        # calibrated scales and pass the filters…
+        qcalls = []
+        real_q = fg.geglu_w8a8
+
+        def qspy(*a):
+            qcalls.append(1)
+            return real_q(*a)
+
+        monkeypatch.setattr(fg, "geglu_w8a8", qspy)
+        monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+        # amax-derived scales (what calibration would produce): clipping-
+        # free, so the int8 output stays near the full-precision one
+        w0 = params["params"]["ff_net_0_proj"]["kernel"]
+        b0 = params["params"]["ff_net_0_proj"]["bias"]
+        h = x @ w0 + b0
+        a_half, gate = jnp.split(h, 2, axis=-1)
+        mid = a_half * jax.nn.gelu(gate, approximate=False)
+        scales = {
+            "/ff_net_0_proj": float(jnp.max(jnp.abs(x))) * 1.05 / 127.0,
+            "/ff_net_2": float(jnp.max(jnp.abs(mid))) * 1.05 / 127.0,
+        }
+        with quant.override("w8a8_static", scales=scales):
+            q_out = ff.apply(params, x)
+        assert qcalls, "static quant did not dispatch the int8 kernel"
+        q_rel = (np.linalg.norm(np.asarray(q_out - plain))
+                 / np.linalg.norm(np.asarray(plain)))
+        assert q_rel < 0.05, q_rel  # int8 noise, not a wrong program
+
+        # …and falls back per-layer when a filter excludes one of them
+        qcalls.clear()
+        with quant.override("w8a8_static", scales=scales,
+                            skip=("ff_net_2",)):
+            ff.apply(params, x)
+        assert not qcalls, "mixed skip/only config must not fuse"
+
+    # OUTSIDE dispatch.inference() — a training trace — the fused kernel
+    # must not dispatch even with the flag on: its backward is strictly
+    # worse than XLA AD of the plain path (BASELINE.md round-3 A/B)
+    calls.clear()
+    monkeypatch.setenv("POLYP_FUSED_GEGLU", "1")
+    out = ff.apply(params, x)
+    assert not calls, "fused GEGLU dispatched outside inference scope"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_flash_attention_is_differentiable():
