@@ -110,8 +110,27 @@ class QConv(nn.Module):
                      jnp.max(jnp.abs(x.astype(jnp.float32))),
                      init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum)
         if quant.conv_quantizable(cin, self.features, path):
+            scale = quant.static_scale(path)
+            nopad = (padding in ("SAME", "VALID")  # no-op for 1×1
+                     or all(tuple(p) == (0, 0) for p in padding))
+            if (scale is not None
+                    and quant.quantization() == "w8a8_static"
+                    and kh == kw == 1 and strides == (1, 1) and nopad):
+                # a 1×1 stride-1 conv IS a dense over [N·H·W, C]
+                # (proj_in/proj_out/conv_shortcut): route it through the
+                # fused in-VMEM-quantize kernel like the attention
+                # projections (ops/fused_dense.py; inference-scoped)
+                from polyp_tpu.ops import dispatch, fused_dense
+                flat = x.reshape(-1, cin)
+                if (dispatch.in_inference()
+                        and fused_dense.supported(flat, kernel[0, 0])):
+                    y = fused_dense.w8a8_dense_fused(
+                        flat.astype(self.dtype),
+                        kernel[0, 0].astype(self.dtype), None, scale
+                    ).reshape(*x.shape[:-1], self.features)
+                    return y + bias.astype(y.dtype)
             y = quant.w8a8_conv(x, kernel, strides, padding, self.dtype,
-                                quant.static_scale(path))
+                                scale)
         else:
             dn = jax.lax.conv_dimension_numbers(
                 x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))

@@ -326,7 +326,19 @@ def maybe_quantized_dense(x: jax.Array, kernel: jax.Array,
     or the layer is too thin to pay."""
     cin, cout = kernel.shape
     if dense_quantizable(cin, cout, path):
-        y = w8a8_dense(x, kernel, dtype, static_scale(path))
+        scale = static_scale(path)
+        if scale is not None and quantization() == "w8a8_static":
+            # static-scale sampling path: the fused Pallas kernel
+            # quantizes the activation in VMEM, killing the standalone
+            # clamp/convert pass (ops/fused_dense.py; inference-scoped —
+            # the quantized modes are sampling-only anyway, but the
+            # scope keeps any future differentiable caller on XLA)
+            from polyp_tpu.ops import dispatch, fused_dense
+            if dispatch.in_inference() and fused_dense.supported(x, kernel):
+                return fused_dense.w8a8_dense_fused(
+                    x.astype(dtype), kernel.astype(dtype),
+                    None if bias is None else bias.astype(dtype), scale)
+        y = w8a8_dense(x, kernel, dtype, scale)
     else:
         y = x.astype(dtype) @ kernel.astype(dtype)
     return y + bias.astype(dtype) if bias is not None else y

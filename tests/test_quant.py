@@ -397,3 +397,178 @@ def test_sd_sampler_static_quant_calibrates_and_caches(
                        stack.text_params["params"], cfg)
     c = np.asarray(sq2.for_prompt("polyp")(4, key), np.float32)
     np.testing.assert_array_equal(b, c)
+
+
+def test_fused_w8a8_dense_matches_per_layer_path_interpret():
+    """ops/fused_dense kernel == the w8a8_dense + bias composition it
+    replaces (interpret mode), over 3-D activations and a multi-tile M."""
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from polyp_tpu.ops import fused_dense
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (2, 128, 64), jnp.float32) * 0.5
+    w = jax.random.normal(jax.random.fold_in(key, 1), (64, 96)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (96,)) * 0.05
+    s = float(jnp.max(jnp.abs(x))) * 1.05 / 127.0
+
+    ref = quant.w8a8_dense(x, w, jnp.float32, jnp.float32(s)) + b
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        one = fused_dense.fused_w8a8_dense.__wrapped__(x, w, b, s,
+                                                       block_m=256)
+        tiled = fused_dense.fused_w8a8_dense.__wrapped__(x, w, b, s,
+                                                         block_m=128)
+        nobias = fused_dense.fused_w8a8_dense.__wrapped__(x, w, None, s,
+                                                          block_m=128)
+
+    def rel(p, q):
+        return float(np.linalg.norm(np.asarray(p - q))
+                     / np.linalg.norm(np.asarray(q)))
+
+    assert rel(one, ref) < 1e-5, rel(one, ref)
+    assert rel(tiled, ref) < 1e-5, rel(tiled, ref)
+    assert rel(nobias, ref - b) < 1e-5
+
+
+def test_fused_w8a8_dense_refuses_gradients():
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from polyp_tpu.ops import fused_dense
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 64))
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 64)) * 0.1
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        with pytest.raises(NotImplementedError, match="inference-only"):
+            jax.grad(lambda x: jnp.sum(
+                fused_dense.w8a8_dense_fused(x, w, None, 0.01)))(x)
+
+
+def test_maybe_quantized_dense_dispatches_fused(monkeypatch):
+    """maybe_quantized_dense routes to the fused kernel ONLY under
+    dispatch.inference() + w8a8_static + a calibrated scale + supported
+    shapes; dynamic mode and training traces keep the per-layer path."""
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from polyp_tpu.ops import dispatch, fused_dense
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 128, 64)) * 0.5
+    w = jax.random.normal(jax.random.PRNGKey(4), (64, 96)) * 0.1
+    b = jnp.zeros((96,))
+    scales = {"blk/to_q": float(jnp.max(jnp.abs(x))) * 1.05 / 127.0}
+
+    calls = []
+    real = fused_dense.w8a8_dense_fused
+
+    def spy(*a):
+        calls.append(1)
+        return real(*a)
+
+    monkeypatch.setattr(fused_dense, "w8a8_dense_fused", spy)
+    monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+    # force `supported` past the backend check (CPU test host)
+    monkeypatch.setattr(
+        fused_dense, "supported",
+        lambda x, k: x.shape[0] * x.shape[1] % 128 == 0)
+
+    plain = x @ w
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        with dispatch.inference(), quant.override("w8a8_static",
+                                                  scales=scales):
+            out = quant.maybe_quantized_dense(x, w, b, jnp.float32,
+                                              "blk/to_q")
+        assert calls, "static+inference did not dispatch the fused dense"
+        rel = (np.linalg.norm(np.asarray(out - plain))
+               / np.linalg.norm(np.asarray(plain)))
+        assert rel < 0.02, rel
+
+        calls.clear()  # outside inference scope: per-layer path
+        with quant.override("w8a8_static", scales=scales):
+            quant.maybe_quantized_dense(x, w, b, jnp.float32, "blk/to_q")
+        assert not calls, "fused dense dispatched outside inference scope"
+
+        with dispatch.inference(), quant.override("w8a8"):
+            quant.maybe_quantized_dense(x, w, b, jnp.float32, "blk/to_q")
+        assert not calls, "dynamic mode must not dispatch the fused dense"
+
+        # missing scale for the path: quantizable() already refuses
+        with dispatch.inference(), quant.override("w8a8_static",
+                                                  scales={}):
+            out2 = quant.maybe_quantized_dense(x, w, b, jnp.float32,
+                                               "blk/to_q")
+        assert not calls
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(plain),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_qconv_1x1_routes_fused_dense(monkeypatch):
+    """A 1×1 stride-1 QConv in static mode under inference scope routes
+    through the fused dense kernel (it IS a dense over [N·H·W, C]) and
+    matches the w8a8_conv path it replaces; 3×3 and strided convs don't."""
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from polyp_tpu.models.unet_blocks import QConv
+    from polyp_tpu.ops import dispatch, fused_dense
+
+    class Blk(nn.Module):
+        ksize: tuple
+        cname: str
+
+        @nn.compact
+        def __call__(self, x):
+            return QConv(96, self.ksize, dtype=jnp.float32,
+                         name=self.cname)(x)
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 64)) * 0.5
+    # flax drops `name` on a ROOT module, which would empty the quant
+    # path — wrap in a parent so scope.path is "proj_in"/"conv1"
+    conv1 = Blk((1, 1), "proj_in")
+    p1 = conv1.init(jax.random.PRNGKey(6), x)
+    conv3 = Blk((3, 3), "conv1")
+    p3 = conv3.init(jax.random.PRNGKey(7), x)
+    scales = {"proj_in": float(jnp.max(jnp.abs(x))) * 1.05 / 127.0,
+              "conv1": float(jnp.max(jnp.abs(x))) * 1.05 / 127.0}
+
+    calls = []
+    real = fused_dense.w8a8_dense_fused
+
+    def spy(*a):
+        calls.append(1)
+        return real(*a)
+
+    monkeypatch.setattr(fused_dense, "w8a8_dense_fused", spy)
+    monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+    monkeypatch.setattr(fused_dense, "supported",
+                        lambda x, k: x.shape[0] % 128 == 0)
+
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        with quant.override("w8a8_static", scales=scales):
+            ref = conv1.apply(p1, x)  # per-layer path (no inference scope)
+        assert not calls
+        with dispatch.inference(), quant.override("w8a8_static",
+                                                  scales=scales):
+            out = conv1.apply(p1, x)
+        assert calls, "1x1 static QConv did not route the fused dense"
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        calls.clear()
+        with dispatch.inference(), quant.override("w8a8_static",
+                                                  scales=scales):
+            conv3.apply(p3, x)
+        assert not calls, "3x3 conv must stay on w8a8_conv"

@@ -84,10 +84,15 @@ def main() -> None:
                 unet, params, sched, (2, latent, latent, 4), ctx[:1],
                 jnp.zeros_like(ctx[:1]), num_steps=8), fp)
 
+    from polyp_tpu.ops import dispatch
+
     @jax.jit
     def chain(params, lat, t, ctx):
+        # inference scope: match the production sampling trace (the
+        # samplers set it — it enables the fused GEGLU kernels)
         def body(h, _):
-            with quant.override(mode, scales=scales, t=t):
+            with dispatch.inference(), \
+                    quant.override(mode, scales=scales, t=t):
                 eps = unet.apply({"params": params}, h, t, ctx)
             return (h * 0.98 + eps.astype(h.dtype) * 0.01).astype(h.dtype), None
         h, _ = jax.lax.scan(body, lat, None, length=iters)
