@@ -1,9 +1,9 @@
 # Test tiers (VERDICT r1 item 5). Timings measured on this 1-core host with
-# a warm JAX compilation cache (/tmp/jax_cache_tests); 263 tests total
-# (193 fast / 70 slow) as of round 3. NOTE: without `pip install -e .[dev]`
-# (mlflow) the suite reports exactly 1 skip — tests/test_tracker_mlflow.py,
-# the mlflow backend's end-to-end file-store test; install the dev extra to
-# run it (the JSONL tracker backend is tested unconditionally):
+# a warm JAX compilation cache (/tmp/jax_cache_tests); 266 tests total
+# (196 fast / 70 slow) as of round 3. NOTE: without `pip install -e .[dev]`
+# (mlflow) each tier reports exactly 1 skip — tests/test_tracker_mlflow.py,
+# the mlflow backend's end-to-end file-store tests; install the dev extra to
+# run them (the JSONL tracker backend is tested unconditionally):
 #   make test-fast   ~3 min  — pure/numerical tests (data, quota, metrics,
 #                              schedules, samplers, kernels, importers,
 #                              quantization, native decoders, ...)
