@@ -329,3 +329,48 @@ def test_causal_flag_refused():
     q = jnp.zeros((1, 128, 1, 32))
     with pytest.raises(NotImplementedError, match="causal"):
         fa.flash_attention(q, q, q, is_causal=True, interpret=True)
+
+
+def test_sampler_trace_enables_fused_geglu(monkeypatch):
+    """The inference-scope contract END TO END: a sampler trace reaches
+    FeedForward with dispatch.in_inference() set, so the fused GEGLU
+    dispatches there — while a direct (training-style) forward of the
+    same model does not. Tiny conditional UNet, interpret-mode kernel."""
+    from unittest import mock
+
+    import polyp_tpu.ops.fused_geglu as fg
+    from polyp_tpu.diffusion import DiffusionSchedule, sample
+    from polyp_tpu.models import tiny_condition_unet
+
+    unet = tiny_condition_unet(dtype=jnp.float32)
+    x = jnp.zeros((2, 8, 8, 4), jnp.float32)
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jnp.zeros((2, 5, 32), jnp.float32)
+    params = jax.jit(unet.init)({"params": jax.random.PRNGKey(0)},
+                                x[:1], t[:1], ctx[:1])["params"]
+    sched = DiffusionSchedule.create(50, "scaled_linear", 0.00085, 0.012)
+
+    calls = []
+    real_geglu = fg.geglu
+
+    def spy(*a):
+        calls.append(1)
+        return real_geglu(*a)
+
+    monkeypatch.setattr(fg, "supported", lambda *a: True)
+    monkeypatch.setattr(fg, "geglu", spy)
+    monkeypatch.setenv("POLYP_FUSED_GEGLU", "1")
+
+    def model_fn(z, tt):
+        return unet.apply({"params": params}, z, tt, ctx)
+
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        out = sample("ddim", model_fn, sched, (2, 8, 8, 4),
+                     jax.random.PRNGKey(1), 2)
+        assert calls, "sampler trace did not enable the fused GEGLU"
+        assert bool(jnp.isfinite(out).all())
+
+        calls.clear()
+        unet.apply({"params": params}, x, t, ctx)  # training-style trace
+        assert not calls, "direct forward must not dispatch fused GEGLU"
