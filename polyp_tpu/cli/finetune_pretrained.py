@@ -86,9 +86,11 @@ def main(argv=None):
     tracker.set_experiment(args.experiment_name or cfg.experiment_name)
     print_banner("Starting training")
     with tracker.start_run(run_name=Path(cfg.output_dir).name):
-        state, result = train_sd_lora(
-            cfg, state, frozen, schedule, loader, prompt_ids, lcfg,
-            log=lambda k, v, s: tracker.log_metric(k, v, s))
+        from polyp_tpu.ops import dispatch
+        with dispatch.mesh_trace_scope(mesh):  # no Pallas on >1 device
+            state, result = train_sd_lora(
+                cfg, state, frozen, schedule, loader, prompt_ids, lcfg,
+                log=lambda k, v, s: tracker.log_metric(k, v, s))
 
         out = Path(cfg.output_dir)
         save_lora(out / "lora_weights", state.trainable["unet_lora"])

@@ -262,11 +262,16 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
                                         "scaled_linear", 0.00085, 0.012)
 
     prompt_ids = np.asarray(stack.tokenizer([prompt]))
-    state, result = train_sd_lora(
-        cfg, state, frozen, schedule, loader, prompt_ids, lcfg, text_lora_cfg,
-        special_ids,
-        log=(lambda k, v, s: tracker.log_metric(f"{k}_{cls}", v, s))
-        if tracker else None)
+    # >1-device mesh: the train-step trace must not dispatch Pallas
+    # kernels (flash attention) — GSPMD has no partitioning rule for
+    # them; see ops/dispatch.pallas_ok. No-op on 1 device / no mesh.
+    from polyp_tpu.ops import dispatch
+    with dispatch.mesh_trace_scope(mesh):
+        state, result = train_sd_lora(
+            cfg, state, frozen, schedule, loader, prompt_ids, lcfg,
+            text_lora_cfg, special_ids,
+            log=(lambda k, v, s: tracker.log_metric(f"{k}_{cls}", v, s))
+            if tracker else None)
 
     # save the FULL trainable bundle (adapter + dreambooth rows + text lora
     # + proj) — the reference's "lora_" key filter drops the trained

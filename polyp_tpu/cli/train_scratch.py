@@ -168,10 +168,13 @@ def main(argv=None):
                 save_pytree(ckpt, {"params": st.params})
                 tracker.log_artifact(str(ckpt), f"diffusion_model/model_{_cls}")
 
-            state, result = train_scratch_ddpm(
-                cfg, state, schedule, loader, text_embeddings,
-                log=lambda k, v, s: tracker.log_metric(f"{k}_{cls}", v, s),
-                epoch_callback=final_epoch_hook)
+            from polyp_tpu.ops import dispatch
+            with dispatch.mesh_trace_scope(mesh):  # no Pallas on >1 device
+                state, result = train_scratch_ddpm(
+                    cfg, state, schedule, loader, text_embeddings,
+                    log=lambda k, v, s: tracker.log_metric(f"{k}_{cls}",
+                                                           v, s),
+                    epoch_callback=final_epoch_hook)
             print(f"Training for class {cls} finished successfully\n")
 
 

@@ -122,7 +122,7 @@ class QConv(nn.Module):
                 # projections (ops/fused_dense.py; inference-scoped)
                 from polyp_tpu.ops import dispatch, fused_dense
                 flat = x.reshape(-1, cin)
-                if (dispatch.in_inference()
+                if (dispatch.in_inference() and dispatch.pallas_ok()
                         and fused_dense.supported(flat, kernel[0, 0])):
                     y = fused_dense.w8a8_dense_fused(
                         flat.astype(self.dtype),
@@ -316,7 +316,7 @@ class FeedForward(nn.Module):
         # dynamic scale depends on the not-yet-computed intermediate).
         from polyp_tpu.ops import dispatch
         from polyp_tpu.ops import fused_geglu as fg
-        if (dispatch.in_inference()
+        if (dispatch.in_inference() and dispatch.pallas_ok()
                 and os.environ.get("POLYP_FUSED_GEGLU", "1") != "0"
                 and fg.supported(x, w0, w2)):
             if quant.quantization() is None:

@@ -41,6 +41,9 @@ def use_fused_mha(x: jax.Array, ctx: jax.Array, num_heads: int,
     it was traced with; re-jit (or clear jax caches) after changing it."""
     if _BACKEND == "xla" or os.environ.get("POLYP_FUSED_MHA", "0") != "1":
         return False
+    from polyp_tpu.ops import dispatch
+    if not dispatch.pallas_ok():  # multi-device trace: XLA only
+        return False
     if not is_self:
         # cross-attention (77-token KV) executes MORE in-kernel FLOPs than
         # the XLA path saves in copies (per-head K/V/out projections run at
@@ -62,8 +65,10 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     matching jax.nn.dot_product_attention)."""
     backend = _BACKEND
     if backend in ("auto", "pallas"):
+        from polyp_tpu.ops import dispatch
         from polyp_tpu.ops import flash_attention as fa
-        if fa.supported(q, k, v, mask, is_causal) and (
-                backend == "pallas" or fa.profitable(q, k, v)):
+        if (dispatch.pallas_ok()  # multi-device trace: XLA only
+                and fa.supported(q, k, v, mask, is_causal)
+                and (backend == "pallas" or fa.profitable(q, k, v))):
             return fa.flash_attention(q, k, v, is_causal=is_causal)
     return jax.nn.dot_product_attention(q, k, v, mask=mask, is_causal=is_causal)

@@ -26,6 +26,8 @@ import contextvars
 
 _INFERENCE: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "polyp_inference_mode", default=False)
+_MULTI_DEVICE: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "polyp_multi_device_trace", default=False)
 
 
 def in_inference() -> bool:
@@ -42,3 +44,39 @@ def inference():
         yield
     finally:
         _INFERENCE.reset(token)
+
+
+def pallas_ok() -> bool:
+    """May this trace dispatch Pallas kernels at all?
+
+    False under `multi_device_trace()`: GSPMD has no partitioning rule
+    for our pallas_calls, so on a >1-device mesh XLA would at best
+    replicate their operands (an all-gather per kernel launch per layer)
+    and at worst fail to partition — and no multi-chip TPU exists in this
+    environment to validate either behavior. The mesh-aware entry points
+    (pipeline samplers, sd_common train loops) set the flag so
+    multi-device traces compile to pure-XLA programs, which the 8-device
+    CPU equivalence tests DO prove out (tests/test_parallel_wiring.py).
+    Single-device runs keep every kernel. Revisit with shard_map-wrapped
+    kernels when multi-chip hardware is available."""
+    return not _MULTI_DEVICE.get()
+
+
+@contextlib.contextmanager
+def multi_device_trace():
+    """Declare the enclosed trace region mesh-partitioned (>1 device):
+    Pallas kernel dispatch is disabled, XLA primitives only."""
+    token = _MULTI_DEVICE.set(True)
+    try:
+        yield
+    finally:
+        _MULTI_DEVICE.reset(token)
+
+
+def mesh_trace_scope(mesh):
+    """`multi_device_trace()` when `mesh` spans more than one device,
+    otherwise a no-op scope — the one-liner every mesh-aware entry point
+    (pipeline samplers, CLI train loops) wraps its traced region in."""
+    if mesh is not None and mesh.devices.size > 1:
+        return multi_device_trace()
+    return contextlib.nullcontext()

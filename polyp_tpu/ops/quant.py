@@ -334,7 +334,8 @@ def maybe_quantized_dense(x: jax.Array, kernel: jax.Array,
             # the quantized modes are sampling-only anyway, but the
             # scope keeps any future differentiable caller on XLA)
             from polyp_tpu.ops import dispatch, fused_dense
-            if dispatch.in_inference() and fused_dense.supported(x, kernel):
+            if (dispatch.in_inference() and dispatch.pallas_ok()
+                    and fused_dense.supported(x, kernel)):
                 return fused_dense.w8a8_dense_fused(
                     x.astype(dtype), kernel.astype(dtype),
                     None if bias is None else bias.astype(dtype), scale)

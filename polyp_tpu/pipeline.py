@@ -36,6 +36,16 @@ from polyp_tpu.utils.rng import batch_seed_key
 BatchSampler = Callable[[int, jax.Array], jax.Array]
 
 
+def _mesh_trace_scope(mesh):
+    """Trace-time scope for a sampler jitted over `mesh`: >1 device means
+    GSPMD partitions the program, so Pallas kernel dispatch is disabled
+    (ops/dispatch.pallas_ok — no partitioning rule exists for the kernels
+    and no multi-chip hardware exists here to validate one). Single-device
+    and mesh-less samplers keep every kernel."""
+    from polyp_tpu.ops import dispatch
+    return dispatch.mesh_trace_scope(mesh)
+
+
 def _padded_batch(batch_size: int, mesh) -> int:
     """Round a (possibly ragged quota-tail) batch up to a multiple of the
     mesh's 'data' axis so the sharded sampler keeps even per-device shards;
@@ -119,8 +129,9 @@ class PixelDiffusionSampler:
                                     t=t):
                     return self.model.apply({"params": params}, x, t)
 
-        return sample(self.sampler, model_fn, self.schedule, shape, key,
-                      self.num_steps)
+        with _mesh_trace_scope(self.mesh):
+            return sample(self.sampler, model_fn, self.schedule, shape, key,
+                          self.num_steps)
 
     def __call__(self, batch_size: int, key: jax.Array) -> jax.Array:
         bs = _padded_batch(batch_size, self.mesh)
@@ -182,10 +193,11 @@ class StableDiffusionSampler:
 
         model_fn = with_cfg(raw_fn, cond, uncond, self.guidance_scale)
         shape = (batch_size, latent_size, latent_size, 4)
-        latents = sample(self.sampler, model_fn, self.schedule, shape,
-                         key, self.num_steps)
-        return self.vae.apply(vae_params, latents / SD_VAE_SCALING,
-                              method=self.vae.decode)
+        with _mesh_trace_scope(self.mesh):
+            latents = sample(self.sampler, model_fn, self.schedule, shape,
+                             key, self.num_steps)
+            return self.vae.apply(vae_params, latents / SD_VAE_SCALING,
+                                  method=self.vae.decode)
 
     def for_prompt(self, prompt: str) -> BatchSampler:
         cond = self.encode_prompt(prompt)

@@ -374,3 +374,57 @@ def test_sampler_trace_enables_fused_geglu(monkeypatch):
         calls.clear()
         unet.apply({"params": params}, x, t, ctx)  # training-style trace
         assert not calls, "direct forward must not dispatch fused GEGLU"
+
+
+def test_multi_device_trace_disables_pallas_dispatch(monkeypatch):
+    """ops/dispatch.multi_device_trace(): mesh-partitioned traces must
+    compile to XLA primitives only — flash attention and the fused GEGLU
+    both bypass (GSPMD has no partitioning rule for the kernels)."""
+    from unittest import mock
+
+    import polyp_tpu.ops.fused_geglu as fg
+    from polyp_tpu.models.unet_blocks import FeedForward
+    from polyp_tpu.ops import attention as att
+    from polyp_tpu.ops import dispatch
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 2, 64))
+    fcalls = []
+    monkeypatch.setattr(fa, "supported", lambda *a, **k: True)
+    monkeypatch.setattr(fa, "profitable", lambda *a, **k: True)
+    monkeypatch.setattr(
+        fa, "flash_attention",
+        lambda *a, **k: (fcalls.append(1),
+                         fa.flash_attention.__wrapped__(*a, interpret=True,
+                                                        **k))[1]
+        if hasattr(fa.flash_attention, "__wrapped__")
+        else (fcalls.append(1), jax.nn.dot_product_attention(*a[:3]))[1])
+
+    att.dot_product_attention(q, q, q)
+    assert fcalls, "flash did not dispatch in the baseline case"
+    fcalls.clear()
+    with dispatch.multi_device_trace():
+        out = att.dot_product_attention(q, q, q)
+    assert not fcalls, "flash dispatched inside a multi-device trace"
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jax.nn.dot_product_attention(q, q, q)),
+        rtol=1e-5, atol=1e-5)
+
+    # fused GEGLU: inference scope alone dispatches; + multi-device doesn't
+    ff = FeedForward(dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 64), jnp.float32)
+    params = ff.init(jax.random.PRNGKey(2), x)
+    gcalls = []
+    real_geglu = fg.geglu
+    monkeypatch.setattr(fg, "supported", lambda *a: True)
+    monkeypatch.setattr(fg, "geglu",
+                        lambda *a: (gcalls.append(1), real_geglu(*a))[1])
+    monkeypatch.setenv("POLYP_FUSED_GEGLU", "1")
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        with dispatch.inference():
+            ff.apply(params, x)
+        assert gcalls
+        gcalls.clear()
+        with dispatch.inference(), dispatch.multi_device_trace():
+            ff.apply(params, x)
+        assert not gcalls, "fused GEGLU dispatched inside multi-device trace"
