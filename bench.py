@@ -95,8 +95,10 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
             lambda: calibrate_unet_scales(unet, uparams, schedule,
                                           (2, latent, latent, 4), cond,
                                           uncond, num_steps=8), fp)
+        # stderr: stdout carries ONLY the one JSON line the driver parses
+        import sys
         print(f"# calibrated {len(scales)} scales in "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
     # params/embeddings MUST be jit *arguments*: closing over them embeds
     # 860M weights as HLO constants and compile time explodes.
