@@ -35,6 +35,7 @@ def main(argv=None):
     parser.add_argument("--train_text_encoder", action="store_true")
     parser.add_argument("--dreambooth", action="store_true")
     parser.add_argument("--add_visual_influence", action="store_true")
+    parser.add_argument("--unfreeze_layers", action="store_true")
     parser.add_argument("--generate_subsamples", action="store_true",
                         help="quick mode: 5 images per class")
     parser.add_argument("--accumulation_steps", type=int, default=1)
@@ -53,7 +54,7 @@ def main(argv=None):
                              experiment_name="baseline_with_lora")
     flags = SDFlags(args.unconditional, args.class_condition,
                     args.train_text_encoder, args.dreambooth,
-                    args.add_visual_influence)
+                    args.add_visual_influence, args.unfreeze_layers)
 
     folder = Path(args.folder)
     folder.mkdir(parents=True, exist_ok=True)

@@ -192,11 +192,18 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
     unfrozen = None
     if flags.unfreeze_layers:
         # base attention projections train alongside the adapter
-        # (train_with_lora_per_class.py:318-323)
+        # (train_with_lora_per_class.py:318-323). COPY the leaves: the
+        # extracted subtree would otherwise alias stack.unet_params
+        # buffers, and the train step's donate_argnums deletes them on
+        # the first update — breaking the post-training merge and every
+        # later class in the loop (caught by the all-classes smoke test).
         from polyp_tpu.lora.partition import extract_by_mask
-        unfrozen = extract_by_mask(
-            stack.unet_params,
-            path_mask(stack.unet_params, ["to_q", "to_k", "to_v", "to_out"]))
+        unfrozen = jax.tree.map(
+            jnp.copy,
+            extract_by_mask(
+                stack.unet_params,
+                path_mask(stack.unet_params,
+                          ["to_q", "to_k", "to_v", "to_out"])))
 
     special_rows = None
     special_ids = None

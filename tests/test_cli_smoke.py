@@ -82,6 +82,7 @@ def test_lora_all_classes_cli(corpus, tmp_path, monkeypatch):
           "--tracker-root", str(tmp_path / "runs"),
           "--folder", str(tmp_path / "allrun"), "--tiny", "--one_vs_rest",
           "--generate_subsamples", "--accumulation_steps", "2",
+          "--unfreeze_layers",  # reference :229 — trains conv_out too
           "--num_epochs", "1", "--image_size", "32"])
     for cls in ("AD", "REST"):
         samples = tmp_path / "allrun/samples" / cls
