@@ -192,3 +192,45 @@ class TestNativeTIFF:
         got = native.decode_tiff(p)
         want = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
         np.testing.assert_array_equal(got, want)
+
+
+class TestDecoderRobustness:
+    """Corrupt/truncated inputs must raise (→ PIL fallback in data/native.py),
+    never return garbage that passes shape validation — the ADVICE round-2
+    TIFF hardening contract."""
+
+    def _roundtrip_bytes(self, tmp_path, payload: bytes, name: str):
+        from polyp_tpu.data import native
+
+        p = tmp_path / name
+        p.write_bytes(payload)
+        return native.decode_image(str(p))
+
+    @pytest.mark.parametrize("name", ["x.tif", "x.png"])
+    def test_random_bytes_raise(self, tmp_path, name):
+        from polyp_tpu.data import native
+
+        rng = np.random.default_rng(0)
+        for i in range(20):
+            payload = rng.integers(0, 256, rng.integers(8, 4096),
+                                   dtype=np.uint8).tobytes()
+            with pytest.raises(Exception):
+                self._roundtrip_bytes(tmp_path, payload, name)
+
+    @pytest.mark.parametrize("cut", [0.25, 0.5, 0.9])
+    def test_truncated_valid_files_raise_or_decode(self, tmp_path, cut):
+        """A prefix of a real file either raises cleanly or (for some strip
+        layouts) decodes — it must never crash the process or hang."""
+        from PIL import Image
+
+        from polyp_tpu.data import native
+
+        src = tmp_path / "full.tif"
+        Image.fromarray(np.full((32, 32, 3), 128, np.uint8)).save(src)
+        payload = src.read_bytes()
+        trunc = payload[: int(len(payload) * cut)]
+        try:
+            out = self._roundtrip_bytes(tmp_path, trunc, "t.tif")
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except Exception:
+            pass  # clean failure is the expected path
