@@ -61,18 +61,46 @@ class TimestepEmbedding(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """Thin param wrapper around ops.group_norm (functional core, fusable)."""
+    """Thin param wrapper around ops.group_norm (functional core, fusable).
+
+    Inference traces route through the one-pass Pallas kernel
+    (ops/fused_gn.py) when the shape qualifies; POLYP_FUSED_GN=0 keeps XLA
+    (trace-time flag — re-jit after changing, like POLYP_FUSED_GEGLU).
+
+    `quantize_scale` (w8a8_static producer-side handoff): when the CALLER
+    knows the consuming quantized conv's calibrated activation scale
+    (ResnetBlock does — it owns both the norm and the conv), passing it
+    here makes the GN emit the int8 activation directly, so the conv reads
+    int8 from HBM instead of re-quantizing a bf16 tensor on every read
+    (the round-3 "conv-side int8 tax"). Output dtype is int8 iff
+    `quantize_scale` is given, via the kernel or an equivalent XLA chain.
+    """
 
     num_groups: int = 32
     eps: float = 1e-5
     act: str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 quantize_scale: jax.Array | None = None) -> jax.Array:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(x, scale, bias, self.num_groups, self.eps, self.act)
+        from polyp_tpu.ops import dispatch, fused_gn
+        if (dispatch.in_inference() and dispatch.pallas_ok()
+                and os.environ.get("POLYP_FUSED_GN", "1") != "0"
+                and fused_gn.supported(x, self.num_groups)):
+            return fused_gn.group_norm_fused(x, scale, bias, quantize_scale,
+                                             self.num_groups, self.eps,
+                                             self.act)
+        y = group_norm(x, scale, bias, self.num_groups, self.eps, self.act)
+        if quantize_scale is not None:
+            # XLA producer-side quantize: one elementwise chain fused into
+            # the GN-apply pass (inference-only — the rounding has zero
+            # gradient, quant's refusing custom_vjp guards it)
+            y = jnp.clip(jnp.round(quant._inference_only(y).astype(
+                jnp.float32) / quantize_scale), -127, 127).astype(jnp.int8)
+        return y
 
 
 class QConv(nn.Module):
@@ -105,6 +133,27 @@ class QConv(nn.Module):
         padding = (self.padding if isinstance(self.padding, str)
                    else [tuple(p) for p in self.padding])
         path = "/".join(self.scope.path)
+        if x.dtype == jnp.int8:
+            # producer-side w8a8_static handoff (ResnetBlock → GroupNorm
+            # quantize epilogue): x is already clip(round(h/scale)) with
+            # THIS conv's calibrated scale — quantize only the weights and
+            # run the int8 MXU conv directly. The caller guarantees the
+            # scale identity (it fetched quant.static_scale(path) for this
+            # very path before quantizing).
+            scale = quant.static_scale(path)
+            if scale is None:
+                raise ValueError(
+                    f"int8 input reached conv {path} without a calibrated "
+                    "static scale — producer-side quantize out of sync")
+            wq, sw = quant.quantize_weight(kernel, (0, 1, 2))
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x, wq, strides, padding, dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            y = (y.astype(jnp.float32)
+                 * (scale * sw.reshape(1, 1, 1, -1))).astype(self.dtype)
+            return y + bias.astype(y.dtype)
         if quant.calibrating() and min(cin, self.features) >= quant.MIN_QUANT_CHANNELS:
             self.sow("quant_stats", "act_amax",
                      jnp.max(jnp.abs(x.astype(jnp.float32))),
@@ -151,19 +200,41 @@ class ResnetBlock2D(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
+    def _handoff_scale(self, cin: int, conv_name: str) -> jax.Array | None:
+        """The consuming conv's calibrated w8a8_static activation scale —
+        when set, the preceding GroupNorm quantizes its own output
+        (producer-side int8 handoff: half the GN→conv HBM traffic, no
+        quantize arithmetic in the conv fusion). POLYP_GN_Q8=0 restores
+        the consumer-side quantize for A/B (trace-time flag)."""
+        if (quant.quantization() != "w8a8_static"
+                or os.environ.get("POLYP_GN_Q8", "1") == "0"):
+            return None
+        path = "/".join((*self.scope.path, conv_name))
+        if not quant.conv_quantizable(cin, self.out_channels, path):
+            return None
+        return quant.static_scale(path)
+
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array | None = None,
                  deterministic: bool = True) -> jax.Array:
         residual = x
-        h = GroupNorm(self.groups, self.eps, act="silu", name="norm1")(x)
+        s1 = self._handoff_scale(x.shape[-1], "conv1")
+        h = GroupNorm(self.groups, self.eps, act="silu", name="norm1")(
+            x, quantize_scale=s1)
         h = QConv(self.out_channels, (3, 3), padding="SAME",
                   dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = GroupNorm(self.groups, self.eps, act="silu", name="norm2")(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        # the int8 handoff skips the (identity) inference dropout; training
+        # never quantizes, so the non-deterministic path is unreachable
+        s2 = (self._handoff_scale(self.out_channels, "conv2")
+              if deterministic else None)
+        h = GroupNorm(self.groups, self.eps, act="silu", name="norm2")(
+            h, quantize_scale=s2)
+        if s2 is None:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = QConv(self.out_channels, (3, 3), padding="SAME",
                   dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
