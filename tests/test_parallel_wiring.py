@@ -247,6 +247,33 @@ class TestQuantizedShardedSampling:
         np.testing.assert_allclose(a, b, rtol=0.05, atol=0.02)
         assert np.abs(a - b).mean() < 2e-3
 
+    def test_mesh_and_w8a8_static_compose(self, monkeypatch, tmp_path):
+        """--mesh data=8 with --quantize w8a8_static: calibration + the
+        per-timestep scale gathers + the producer-side GN→int8 handoff
+        (POLYP_GN_Q8 default, pure-XLA under SPMD since Pallas dispatch is
+        mesh-gated) must all survive pjit partitioning. Static scales are
+        trace-constant (no cross-device amax reduction order), so sharded
+        must match unsharded TIGHTER than the dynamic test above."""
+        from polyp_tpu.cli.common import load_sd_stack
+        from polyp_tpu.cli.sd_common import make_sampler
+        from polyp_tpu.ops import quant
+
+        monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+        monkeypatch.setenv("POLYP_QUANT_CACHE", str(tmp_path))
+        stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+        cfg = DiffusionConfig(image_size=32, num_inference_steps=2,
+                              sampler="ddim", quantize="w8a8_static")
+        key = jax.random.PRNGKey(4)
+        plain = make_sampler(stack, stack.unet_params,
+                             stack.text_params["params"], cfg)
+        mesh = make_mesh({"data": 8})
+        sharded = make_sampler(stack, stack.unet_params,
+                               stack.text_params["params"], cfg, mesh)
+        a = np.asarray(plain.for_prompt("polyp")(8, key), np.float32)
+        b = np.asarray(sharded.for_prompt("polyp")(8, key), np.float32)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
 
 class TestMultiHostBatchCoherence:
     """Multi-host semantics of Loader (simulated — this host is one process):
