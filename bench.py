@@ -252,6 +252,32 @@ def bench_sd_lora_train(batch_size: int = 8, image_size: int = 256,
             "compile_sec": compile_s}
 
 
+def _arm_watchdog(seconds: int):
+    """The tunneled TPU backend can wedge silently (backend init or a
+    remote-compile HTTP call hangs at zero CPU, indefinitely). A hung bench
+    records nothing; this daemon thread instead prints an explicit,
+    parseable failure JSON line and exits once `seconds` pass without the
+    first benchmark completing. Generous default: a cold 860M-UNet compile
+    takes ~250 s on this host — 1800 s is 7× that. Returns the disarm
+    Event; set() it after the first real result."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "bench watchdog", "value": None, "unit": "error",
+                "error": f"no benchmark result within {seconds}s — TPU "
+                         "backend unresponsive (tunnel wedge); rerun"}),
+                flush=True)
+            os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=50)
@@ -263,10 +289,16 @@ def main():
     parser.add_argument("--train-diffusion", action="store_true")
     parser.add_argument("--quantize", default=None, choices=["w8a8", "w8a8_static"],
                         help="W8A8 UNet sampling (ops/quant.py); default off")
+    parser.add_argument("--watchdog", type=int, default=1800,
+                        help="fail loudly if no result within N seconds "
+                             "(0 disables)")
     args = parser.parse_args()
 
+    watchdog = _arm_watchdog(args.watchdog) if args.watchdog else None
     result = bench_sampling(args.batch, args.image_size, args.steps,
                             args.sampler, args.quick, quantize=args.quantize)
+    if watchdog is not None:
+        watchdog.set()
     value = result["samples_per_sec"]
     out = {
         "metric": f"{args.image_size}px diffusion samples/sec/chip "
