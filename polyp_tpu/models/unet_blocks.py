@@ -87,8 +87,10 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         from polyp_tpu.ops import dispatch, fused_gn
+        # default OFF until the chip A/B lands (measure-then-enable — the
+        # per-dense fused-quantize lesson, BASELINE.md round-3 change 5)
         if (dispatch.in_inference() and dispatch.pallas_ok()
-                and os.environ.get("POLYP_FUSED_GN", "1") != "0"
+                and os.environ.get("POLYP_FUSED_GN", "0") != "0"
                 and fused_gn.supported(x, self.num_groups)):
             return fused_gn.group_norm_fused(x, scale, bias, quantize_scale,
                                              self.num_groups, self.eps,
@@ -206,8 +208,9 @@ class ResnetBlock2D(nn.Module):
         (producer-side int8 handoff: half the GN→conv HBM traffic, no
         quantize arithmetic in the conv fusion). POLYP_GN_Q8=0 restores
         the consumer-side quantize for A/B (trace-time flag)."""
+        # default OFF until the chip A/B lands (measure-then-enable)
         if (quant.quantization() != "w8a8_static"
-                or os.environ.get("POLYP_GN_Q8", "1") == "0"):
+                or os.environ.get("POLYP_GN_Q8", "0") == "0"):
             return None
         path = "/".join((*self.scope.path, conv_name))
         if not quant.conv_quantizable(cin, self.out_channels, path):

@@ -260,6 +260,7 @@ class TestQuantizedShardedSampling:
 
         monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
         monkeypatch.setenv("POLYP_QUANT_CACHE", str(tmp_path))
+        monkeypatch.setenv("POLYP_GN_Q8", "1")  # opt-in producer handoff
         stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
         cfg = DiffusionConfig(image_size=32, num_inference_steps=2,
                               sampler="ddim", quantize="w8a8_static")
