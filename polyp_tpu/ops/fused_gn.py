@@ -47,10 +47,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # per-sample element budget: the whole [H·W, C] slab plus its f32 working
-# copies must sit in VMEM. 1M elements ≈ 2 MB bf16 / 4 MB f32 — the SD
-# UNet's largest GN input is 327,680 elements; VAE decode tensors
-# (256²·128 = 8.4M) stay on the XLA path.
-MAX_SAMPLE_ELEMENTS = 1 << 20
+# copies (x, x², y — 4 bytes each) plus double-buffered in/out blocks must
+# sit in the ~16 MB VMEM scope, which XLA shares with neighboring buffers
+# inside the compiled UNet (the fused-GEGLU lesson: a config that compiles
+# standalone can exceed scoped VMEM in situ). 512K elements ≈ 1 MB bf16 /
+# 2 MB f32 per copy (~8 MB peak). The SD UNet's largest GN input is
+# 327,680 elements and the VAE mid-block's 524,288 — both covered; big
+# VAE-decode / early scratch-UNet tensors (≥1.6 M) stay on the XLA path.
+MAX_SAMPLE_ELEMENTS = 1 << 19
 
 
 def supported(x: jax.Array, num_groups: int) -> bool:
