@@ -99,7 +99,9 @@ def _gn_kernel(x_ref, g_ref, b_ref, s_ref, o_ref, *,
     add = b_ref[...] - mean_c * mul
     y = x * mul + add
     if act == "silu":
-        y = y * jax.nn.sigmoid(y)
+        # explicit exp form: Mosaic lowers exp; don't rely on a logistic
+        # primitive lowering (the fused-GEGLU erf precedent)
+        y = y / (1.0 + jnp.exp(-y))
     if quantize:
         s = s_ref[0, 0]
         o_ref[0] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
