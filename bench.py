@@ -255,27 +255,36 @@ def bench_sd_lora_train(batch_size: int = 8, image_size: int = 256,
 def _arm_watchdog(seconds: int):
     """The tunneled TPU backend can wedge silently (backend init or a
     remote-compile HTTP call hangs at zero CPU, indefinitely). A hung bench
-    records nothing; this daemon thread instead prints an explicit,
-    parseable failure JSON line and exits once `seconds` pass without the
-    first benchmark completing. Generous default: a cold 860M-UNet compile
-    takes ~250 s on this host — 1800 s is 7× that. Returns the disarm
-    Event; set() it after the first real result."""
+    records nothing; this daemon thread instead prints a parseable JSON
+    line and exits once `seconds` pass without main() finishing. The
+    deadline covers EVERY phase (headline + companion w8a8 + --train
+    flags — any of them can hit the wedge); if the headline was already
+    measured when a later phase hangs, that partial result is printed with
+    a `watchdog_error` field rather than thrown away. Generous default:
+    a cold 860M-UNet compile takes ~250 s on this host.
+
+    Returns (disarm_event, partial): set() the event when done; update
+    `partial["out"]` with the best output-so-far dict as phases finish."""
     import os
     import threading
 
     done = threading.Event()
+    partial: dict = {"out": None}
 
     def fire():
         if not done.wait(seconds):
-            print(json.dumps({
-                "metric": "bench watchdog", "value": None, "unit": "error",
-                "error": f"no benchmark result within {seconds}s — TPU "
-                         "backend unresponsive (tunnel wedge); rerun"}),
-                flush=True)
+            err = (f"phase exceeded the {seconds}s watchdog — TPU backend "
+                   "unresponsive (tunnel wedge); rerun")
+            out = partial["out"]
+            if out is not None:
+                print(json.dumps({**out, "watchdog_error": err}), flush=True)
+            else:
+                print(json.dumps({"metric": "bench watchdog", "value": None,
+                                  "unit": "error", "error": err}), flush=True)
             os._exit(2)
 
     threading.Thread(target=fire, daemon=True).start()
-    return done
+    return done, partial
 
 
 def main():
@@ -289,16 +298,17 @@ def main():
     parser.add_argument("--train-diffusion", action="store_true")
     parser.add_argument("--quantize", default=None, choices=["w8a8", "w8a8_static"],
                         help="W8A8 UNet sampling (ops/quant.py); default off")
-    parser.add_argument("--watchdog", type=int, default=1800,
-                        help="fail loudly if no result within N seconds "
-                             "(0 disables)")
+    parser.add_argument("--watchdog", type=int, default=3600,
+                        help="fail loudly if the run has not finished "
+                             "within N seconds total (0 disables)")
     args = parser.parse_args()
 
-    watchdog = _arm_watchdog(args.watchdog) if args.watchdog else None
+    if args.watchdog:
+        watchdog, partial = _arm_watchdog(args.watchdog)
+    else:
+        watchdog, partial = None, {"out": None}
     result = bench_sampling(args.batch, args.image_size, args.steps,
                             args.sampler, args.quick, quantize=args.quantize)
-    if watchdog is not None:
-        watchdog.set()
     value = result["samples_per_sec"]
     out = {
         "metric": f"{args.image_size}px diffusion samples/sec/chip "
@@ -314,6 +324,7 @@ def main():
             value / (REFERENCE_CPU_SAMPLES_PER_SEC
                      * REFERENCE_NORMALIZED_CORES / REFERENCE_CPU_THREADS), 2),
     }
+    partial["out"] = dict(out)  # headline measured — a later wedge keeps it
     if args.quantize is None and not args.quick:
         # companion number on the SAME line (bf16 stays the parsed
         # headline until w8a8 quality parity is demonstrated — see
@@ -327,12 +338,16 @@ def main():
             out["w8a8_batch"] = q["batch_size"]
         except Exception as e:  # never sink the headline metric
             out["w8a8_static_error"] = f"{type(e).__name__}: {e}"[:200]
+        partial["out"] = dict(out)
     if args.train:
         out["classifier_train_images_per_sec"] = round(
             bench_classifier_train()["train_images_per_sec"], 2)
+        partial["out"] = dict(out)
     if args.train_diffusion:
         out["sd_lora_train_images_per_sec"] = round(
             bench_sd_lora_train()["sd_lora_train_images_per_sec"], 2)
+    if watchdog is not None:
+        watchdog.set()
     print(json.dumps(out))
 
 

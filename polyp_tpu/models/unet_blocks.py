@@ -91,17 +91,17 @@ class GroupNorm(nn.Module):
         # per-dense fused-quantize lesson, BASELINE.md round-3 change 5)
         if (dispatch.in_inference() and dispatch.pallas_ok()
                 and os.environ.get("POLYP_FUSED_GN", "0") != "0"
-                and fused_gn.supported(x, self.num_groups)):
+                and fused_gn.supported(x, self.num_groups,
+                                       quantize=quantize_scale is not None)):
             return fused_gn.group_norm_fused(x, scale, bias, quantize_scale,
                                              self.num_groups, self.eps,
                                              self.act)
         y = group_norm(x, scale, bias, self.num_groups, self.eps, self.act)
         if quantize_scale is not None:
-            # XLA producer-side quantize: one elementwise chain fused into
-            # the GN-apply pass (inference-only — the rounding has zero
-            # gradient, quant's refusing custom_vjp guards it)
-            y = jnp.clip(jnp.round(quant._inference_only(y).astype(
-                jnp.float32) / quantize_scale), -127, 127).astype(jnp.int8)
+            # XLA producer-side quantize: the exact consumer-side chain
+            # (inference-only — quant's refusing custom_vjp guards it),
+            # fused by XLA into the GN-apply pass
+            y = quant._quantize_activation(y, quantize_scale)[0]
         return y
 
 
@@ -138,8 +138,7 @@ class QConv(nn.Module):
         if x.dtype == jnp.int8:
             # producer-side w8a8_static handoff (ResnetBlock → GroupNorm
             # quantize epilogue): x is already clip(round(h/scale)) with
-            # THIS conv's calibrated scale — quantize only the weights and
-            # run the int8 MXU conv directly. The caller guarantees the
+            # THIS conv's calibrated scale. The caller guarantees the
             # scale identity (it fetched quant.static_scale(path) for this
             # very path before quantizing).
             scale = quant.static_scale(path)
@@ -147,14 +146,8 @@ class QConv(nn.Module):
                 raise ValueError(
                     f"int8 input reached conv {path} without a calibrated "
                     "static scale — producer-side quantize out of sync")
-            wq, sw = quant.quantize_weight(kernel, (0, 1, 2))
-            dn = jax.lax.conv_dimension_numbers(
-                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
-            y = jax.lax.conv_general_dilated(
-                x, wq, strides, padding, dimension_numbers=dn,
-                preferred_element_type=jnp.int32)
-            y = (y.astype(jnp.float32)
-                 * (scale * sw.reshape(1, 1, 1, -1))).astype(self.dtype)
+            y = quant.w8a8_conv(x, kernel, strides, padding, self.dtype,
+                                scale)
             return y + bias.astype(y.dtype)
         if quant.calibrating() and min(cin, self.features) >= quant.MIN_QUANT_CHANNELS:
             self.sow("quant_stats", "act_amax",

@@ -8,7 +8,7 @@ activation — a channel-wise Σx/Σx² reduction, then a normalize+SiLU
 elementwise fusion — i.e. two HBM reads and one write of the big tensor.
 This kernel does stats + normalize + SiLU in ONE pass: grid over the batch,
 a whole [H·W, C] sample resident in VMEM (the SD UNet's largest is
-32·32·320 = 655 KB bf16 — `supported()` gates on a 1M-element budget so
+32·32·320 = 655 KB bf16 — `supported()` gates on MAX_SAMPLE_ELEMENTS so
 VAE-decode-sized tensors keep the XLA path).
 
 The int8 epilogue is the point (round-3 follow-up to the "conv-side int8
@@ -57,15 +57,18 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_SAMPLE_ELEMENTS = 1 << 19
 
 
-def supported(x: jax.Array, num_groups: int) -> bool:
+def supported(x: jax.Array, num_groups: int, quantize: bool = False) -> bool:
     """Can the kernel take this GN? (TPU, NHWC, lane-aligned channels,
-    sublane-aligned spatial extent, per-sample slab within VMEM budget.)"""
+    sublane-aligned spatial extent, per-sample slab within VMEM budget.)
+    With the int8 epilogue (`quantize`) the output block's sublane tile is
+    32 rather than 8, so the spatial extent must be 32-aligned — the SD
+    UNet's 4×4 level falls back to the XLA producer-side chain."""
     if x.ndim != 4:
         return False
     n, h, w, c = x.shape
     return (jax.default_backend() == "tpu"
             and c % 64 == 0
-            and (h * w) % 8 == 0
+            and (h * w) % (32 if quantize else 8) == 0
             and h * w * c <= MAX_SAMPLE_ELEMENTS)
 
 

@@ -271,9 +271,18 @@ def w8a8_conv(x: jax.Array, kernel: jax.Array,
               act_scale: jax.Array | None = None) -> jax.Array:
     """int8 NHWC/HWIO conv with dynamic or static activation scale and
     per-output-channel weight scales; returns `out_dtype` (bias NOT
-    applied)."""
+    applied). An int8 `x` is a producer-side pre-quantized activation
+    (the fused-GN handoff, models/unet_blocks.py): `act_scale` is then
+    required — it is the scale the producer quantized with — and the
+    activation-quantize step is skipped."""
     wq, sw = quantize_weight(kernel, (0, 1, 2))  # sw: [1,1,1,O]
-    xq, sa = _quantize_activation(x, act_scale)
+    if x.dtype == jnp.int8:
+        if act_scale is None:
+            raise ValueError("pre-quantized int8 conv input needs its "
+                             "activation scale")
+        xq, sa = x, jnp.asarray(act_scale, jnp.float32)
+    else:
+        xq, sa = _quantize_activation(x, act_scale)
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(xq, wq, tuple(strides), padding,

@@ -75,6 +75,11 @@ def test_supported_predicate():
     assert not fused_gn.supported(jnp.zeros((1, 256, 256, 128)), 32)
     # non-NHWC rank
     assert not fused_gn.supported(jnp.zeros((2, 64, 320)), 32)
+    # int8 epilogue needs 32-aligned spatial extent (sublane tile): the SD
+    # 4×4 level qualifies bf16 but not quantized
+    deep = jnp.zeros((2, 4, 4, 1280))
+    assert fused_gn.supported(deep, 32) == on_tpu
+    assert not fused_gn.supported(deep, 32, quantize=True)
 
 
 def test_dispatch_entry_refuses_grad(monkeypatch):
