@@ -64,8 +64,9 @@ class GroupNorm(nn.Module):
     """Thin param wrapper around ops.group_norm (functional core, fusable).
 
     Inference traces route through the one-pass Pallas kernel
-    (ops/fused_gn.py) when the shape qualifies; POLYP_FUSED_GN=0 keeps XLA
-    (trace-time flag — re-jit after changing, like POLYP_FUSED_GEGLU).
+    (ops/fused_gn.py) when the shape qualifies and POLYP_FUSED_GN=1
+    (opt-in until the chip A/B lands; trace-time flag — re-jit after
+    changing, like POLYP_FUSED_GEGLU).
 
     `quantize_scale` (w8a8_static producer-side handoff): when the CALLER
     knows the consuming quantized conv's calibrated activation scale
@@ -199,8 +200,8 @@ class ResnetBlock2D(nn.Module):
         """The consuming conv's calibrated w8a8_static activation scale —
         when set, the preceding GroupNorm quantizes its own output
         (producer-side int8 handoff: half the GN→conv HBM traffic, no
-        quantize arithmetic in the conv fusion). POLYP_GN_Q8=0 restores
-        the consumer-side quantize for A/B (trace-time flag)."""
+        quantize arithmetic in the conv fusion). Opt-in with POLYP_GN_Q8=1
+        until the chip A/B lands (trace-time flag)."""
         # default OFF until the chip A/B lands (measure-then-enable)
         if (quant.quantization() != "w8a8_static"
                 or os.environ.get("POLYP_GN_Q8", "0") == "0"):

@@ -29,11 +29,11 @@ with tiny one-hot group-assignment matmuls built from 2-D iota — a lane-
 aligned formulation, same trick as ops/groupnorm.py's NHWC layout note.
 
 Dispatch: models/unet_blocks.py GroupNorm under ops/dispatch.inference()
-(+ pallas_ok); POLYP_FUSED_GN=0 kills it (trace-time flag — re-jit after
-changing, same contract as POLYP_FUSED_GEGLU). The int8 epilogue is
-additionally reachable as a pure-XLA producer-side quantize (POLYP_GN_Q8
-mode in unet_blocks.py) so the HBM-traffic win and the kernel win can be
-A/B-measured separately.
+(+ pallas_ok); opt-in with POLYP_FUSED_GN=1 until the chip A/B lands
+(trace-time flag — re-jit after changing, same contract as
+POLYP_FUSED_GEGLU). The int8 epilogue is additionally reachable as a
+pure-XLA producer-side quantize (POLYP_GN_Q8=1 in unet_blocks.py) so the
+HBM-traffic win and the kernel win can be A/B-measured separately.
 """
 
 from __future__ import annotations
