@@ -185,6 +185,22 @@ class QConv(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+def _handoff_scale(module: nn.Module, conv_name: str,
+                   cin: int, cout: int) -> jax.Array | None:
+    """The consuming conv's calibrated w8a8_static activation scale — when
+    set, the GroupNorm feeding that conv quantizes its own output
+    (producer-side int8 handoff: half the GN→conv HBM traffic, no quantize
+    arithmetic in the conv fusion). Opt-in with POLYP_GN_Q8=1 until the
+    chip A/B lands (trace-time flag; measure-then-enable)."""
+    if (quant.quantization() != "w8a8_static"
+            or os.environ.get("POLYP_GN_Q8", "0") == "0"):
+        return None
+    path = "/".join((*module.scope.path, conv_name))
+    if not quant.conv_quantizable(cin, cout, path):
+        return None
+    return quant.static_scale(path)
+
+
 class ResnetBlock2D(nn.Module):
     """GN+SiLU+Conv ×2 with additive time embedding and 1×1 skip projection —
     the UNet workhorse (the Pallas fusion target for GN+SiLU+conv)."""
@@ -197,19 +213,7 @@ class ResnetBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _handoff_scale(self, cin: int, conv_name: str) -> jax.Array | None:
-        """The consuming conv's calibrated w8a8_static activation scale —
-        when set, the preceding GroupNorm quantizes its own output
-        (producer-side int8 handoff: half the GN→conv HBM traffic, no
-        quantize arithmetic in the conv fusion). Opt-in with POLYP_GN_Q8=1
-        until the chip A/B lands (trace-time flag)."""
-        # default OFF until the chip A/B lands (measure-then-enable)
-        if (quant.quantization() != "w8a8_static"
-                or os.environ.get("POLYP_GN_Q8", "0") == "0"):
-            return None
-        path = "/".join((*self.scope.path, conv_name))
-        if not quant.conv_quantizable(cin, self.out_channels, path):
-            return None
-        return quant.static_scale(path)
+        return _handoff_scale(self, conv_name, cin, self.out_channels)
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array | None = None,
@@ -453,7 +457,10 @@ class Transformer2D(nn.Module):
         n, h, w, c = x.shape
         inner = self.num_heads * self.head_dim
         residual = x
-        y = GroupNorm(32, 1e-6, name="norm")(x)
+        # producer-side int8 handoff into the 1×1 proj_in (same contract
+        # as the ResnetBlock GN→conv pairs)
+        s_in = _handoff_scale(self, "proj_in", c, inner)
+        y = GroupNorm(32, 1e-6, name="norm")(x, quantize_scale=s_in)
         y = QConv(inner, (1, 1), dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(n, h * w, inner)
         for i in range(self.depth):

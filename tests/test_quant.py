@@ -572,3 +572,30 @@ def test_qconv_1x1_routes_fused_dense(monkeypatch):
                                                   scales=scales):
             conv3.apply(p3, x)
         assert not calls, "3x3 conv must stay on w8a8_conv"
+
+
+@pytest.mark.slow
+def test_gn_handoff_equals_consumer_through_full_sampler(
+        tmp_path, monkeypatch):
+    """POLYP_GN_Q8 producer-side int8 handoff (ResnetBlock GN→conv pairs
+    AND Transformer2D GN→proj_in) must be numerically identical to the
+    consumer-side quantize through the complete w8a8_static SD sampling
+    pipeline — same calibrated scales, same rounding chain, just moved
+    into the producer fusion."""
+    from polyp_tpu.cli.common import load_sd_stack
+    from polyp_tpu.cli.sd_common import make_sampler
+    from polyp_tpu.configs import DiffusionConfig
+
+    monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+    monkeypatch.setenv("POLYP_QUANT_CACHE", str(tmp_path))
+    stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+    cfg = DiffusionConfig(image_size=32, num_inference_steps=2,
+                          sampler="ddim", quantize="w8a8_static")
+    key = jax.random.PRNGKey(4)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("POLYP_GN_Q8", mode)
+        s = make_sampler(stack, stack.unet_params,
+                         stack.text_params["params"], cfg)
+        outs[mode] = np.asarray(s.for_prompt("polyp")(4, key), np.float32)
+    np.testing.assert_array_equal(outs["0"], outs["1"])
