@@ -85,16 +85,11 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
 
     scales = None
     if quantize == "w8a8_static":
-        from polyp_tpu.diffusion.calibrate import (
-            cached_scales, calibrate_unet_scales, default_scales_cache,
-            params_fingerprint)
+        from polyp_tpu.diffusion.calibrate import ensure_scales
         t0 = time.perf_counter()
-        fp = params_fingerprint(uparams, image_size, 1000)
-        scales = cached_scales(
-            default_scales_cache(fp),
-            lambda: calibrate_unet_scales(unet, uparams, schedule,
-                                          (2, latent, latent, 4), cond,
-                                          uncond, num_steps=8), fp)
+        scales = ensure_scales(unet, uparams, schedule,
+                               (2, latent, latent, 4), cond, uncond,
+                               fingerprint_extras=(image_size, 1000))
         # stderr: stdout carries ONLY the one JSON line the driver parses
         import sys
         print(f"# calibrated {len(scales)} scales in "

@@ -91,6 +91,32 @@ def default_scales_cache(fingerprint: str) -> Path:
     return root / f"quant_scales_{fingerprint}.json"
 
 
+def ensure_scales(unet, params, schedule, latent_shape,
+                  cond=None, uncond=None, *, num_steps: int = 8,
+                  guidance_scale: float = 7.5,
+                  fingerprint_extras: tuple = (), mesh=None) -> dict:
+    """The one-stop w8a8_static scale bootstrap every entry point shares:
+    fingerprint the checkpoint → hit the disk cache → calibrate on miss.
+
+    `mesh` matters for correctness, not just placement: samplers calibrate
+    AFTER their params are mesh-sharded (Megatron TP or replicated), and a
+    calibration trace over sharded params is a multi-device GSPMD program —
+    Pallas kernel dispatch must be off for it exactly as for the sampling
+    traces (ops/dispatch.pallas_ok rationale), so the calibration forwards
+    run under `mesh_trace_scope(mesh)`."""
+    from polyp_tpu.ops import dispatch
+
+    fp = params_fingerprint(params, *fingerprint_extras)
+
+    def _calibrate():
+        with dispatch.mesh_trace_scope(mesh):
+            return calibrate_unet_scales(
+                unet, params, schedule, latent_shape, cond, uncond,
+                num_steps=num_steps, guidance_scale=guidance_scale)
+
+    return cached_scales(default_scales_cache(fp), _calibrate, fp)
+
+
 def calibrate_unet_scales(
     unet,
     params,

@@ -188,7 +188,13 @@ def class_frechet_distances(train_images_dir: str | Path,
         d = Path(samples_root) / cls
         if not d.exists() or len(real_imgs) < 2:
             continue
-        fake = _load_dir(d, image_size)
+        try:
+            fake = _load_dir(d, image_size)
+        except ValueError:
+            # an interrupted generation run can leave samples/{cls} empty
+            # (mkdir before the first PNG write) — skip like the <2 case
+            # instead of sinking the whole augmentation eval
+            continue
         if len(fake) < 2:
             continue  # covariance needs ≥2 samples
         per_class[cls] = frechet_from_arrays(real_imgs, fake, extractor)

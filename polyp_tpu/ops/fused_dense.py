@@ -36,15 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from polyp_tpu.ops.fused_geglu import _tile  # shared aligned-divisor helper
+
 DEFAULT_BLOCK_M = 512
-
-
-def _tile(total: int, want: int, unit: int) -> int:
-    want = min(want, total)
-    for cand in range(want, unit - 1, -1):
-        if total % cand == 0 and cand % unit == 0:
-            return cand
-    return total
 
 
 def supported(x: jax.Array, kernel: jax.Array) -> bool:

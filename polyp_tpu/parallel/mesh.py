@@ -124,12 +124,19 @@ def multihost_init() -> None:
     jax.distributed.initialize(); bare launches configure explicitly via
     COORDINATOR_ADDRESS + JAX_PROCESS_COUNT + JAX_PROCESS_ID — the path the
     real 2-process CPU test drives (tests/test_multiprocess.py)."""
-    nproc = int(os.environ.get("JAX_PROCESS_COUNT", "1"))
+    nproc_env = os.environ.get("JAX_PROCESS_COUNT")
     addr = os.environ.get("COORDINATOR_ADDRESS")
-    if nproc <= 1 and not addr:
+    if nproc_env is None and not addr:
         return
     kwargs: dict = {}
-    if addr:
-        kwargs = dict(coordinator_address=addr, num_processes=nproc,
+    if addr and nproc_env is not None:
+        # bare launch: fully explicit topology
+        kwargs = dict(coordinator_address=addr, num_processes=int(nproc_env),
                       process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+    elif addr:
+        # cluster launch that pins only the coordinator: let
+        # jax.distributed auto-detect num_processes/process_id (passing
+        # num_processes=1 here would make every rank claim to be the
+        # whole cluster)
+        kwargs = dict(coordinator_address=addr)
     jax.distributed.initialize(**kwargs)

@@ -83,17 +83,14 @@ class PixelDiffusionSampler:
         if quantize == "w8a8_static":
             # one-time activation-scale calibration (diffusion/calibrate.py),
             # disk-cached per checkpoint fingerprint
-            from polyp_tpu.diffusion.calibrate import (
-                cached_scales, calibrate_unet_scales, default_scales_cache,
-                params_fingerprint)
-            fp = params_fingerprint(params, image_size,
-                                    schedule.num_train_timesteps)
-            self._quant_scales = cached_scales(
-                default_scales_cache(fp),
-                lambda: calibrate_unet_scales(
-                    model, params, schedule,
-                    (2, image_size, image_size, model.out_channels),
-                    cond=text_embeddings, num_steps=8), fp)
+            from polyp_tpu.diffusion.calibrate import ensure_scales
+            self._quant_scales = ensure_scales(
+                model, params, schedule,
+                (2, image_size, image_size, model.out_channels),
+                cond=text_embeddings,
+                fingerprint_extras=(image_size,
+                                    schedule.num_train_timesteps),
+                mesh=mesh)
 
         # jitted with params as ARGUMENTS (closing over them would embed the
         # weights as HLO constants and blow up compile time); batch_size is
@@ -208,20 +205,19 @@ class StableDiffusionSampler:
             # every subsequent prompt — scales are activation-magnitude
             # bounds, not prompt-specific content — and disk-cached per
             # checkpoint fingerprint (the calibration compile costs minutes).
-            from polyp_tpu.diffusion.calibrate import (
-                cached_scales, calibrate_unet_scales, default_scales_cache,
-                params_fingerprint)
+            # self.unet_params are already mesh-sharded here; ensure_scales
+            # gates Pallas dispatch off for the multi-device trace.
+            from polyp_tpu.diffusion.calibrate import ensure_scales
             latent = self.image_size // 8
-            fp = params_fingerprint(self.unet_params, self.image_size,
+            self._quant_scales = ensure_scales(
+                self.unet, self.unet_params, self.schedule,
+                (2, latent, latent, 4), cond, uncond,
+                num_steps=min(8, self.num_steps),
+                guidance_scale=self.guidance_scale,
+                fingerprint_extras=(self.image_size,
                                     self.schedule.num_train_timesteps,
-                                    self.guidance_scale)
-            self._quant_scales = cached_scales(
-                default_scales_cache(fp),
-                lambda: calibrate_unet_scales(
-                    self.unet, self.unet_params, self.schedule,
-                    (2, latent, latent, 4), cond, uncond,
-                    num_steps=min(8, self.num_steps),
-                    guidance_scale=self.guidance_scale), fp)
+                                    self.guidance_scale),
+                mesh=self.mesh)
         out_shardings = None
         if self.mesh is not None:
             from polyp_tpu.parallel import data_sharding

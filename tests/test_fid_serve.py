@@ -74,6 +74,8 @@ class TestClassFrechet:
                 arr = np.asarray(Image.open(img_dir / f"{image_id}.tif"))
                 arr = np.clip(arr.astype(np.int32) + shift, 0, 255)
                 Image.fromarray(arr.astype(np.uint8)).save(d / f"{i}.png")
+        # an interrupted run's empty samples dir must be skipped, not crash
+        (samples / "ASS").mkdir()
 
         # cheap deterministic extractor — keeps the fast tier compile-free
         extractor = FeatureExtractor(

@@ -72,17 +72,12 @@ def main() -> None:
     scales = None
     if mode == "w8a8_static":
         from polyp_tpu.diffusion import DiffusionSchedule
-        from polyp_tpu.diffusion.calibrate import (
-            cached_scales, calibrate_unet_scales, default_scales_cache,
-            params_fingerprint)
+        from polyp_tpu.diffusion.calibrate import ensure_scales
         sched = DiffusionSchedule.create(1000, "scaled_linear",
                                          0.00085, 0.012)
-        fp = params_fingerprint(params, latent * 8, 1000)
-        scales = cached_scales(
-            default_scales_cache(fp),
-            lambda: calibrate_unet_scales(
-                unet, params, sched, (2, latent, latent, 4), ctx[:1],
-                jnp.zeros_like(ctx[:1]), num_steps=8), fp)
+        scales = ensure_scales(unet, params, sched, (2, latent, latent, 4),
+                               ctx[:1], jnp.zeros_like(ctx[:1]),
+                               fingerprint_extras=(latent * 8, 1000))
 
     from polyp_tpu.ops import dispatch
 
