@@ -510,6 +510,15 @@ class Upsample2D(nn.Module):
                  out_size: tuple[int, int] | None = None) -> jax.Array:
         n, h, w, c = x.shape
         th, tw = out_size if out_size is not None else (h * 2, w * 2)
+        # producer-side w8a8_static handoff, one step earlier than the GN
+        # version: nearest resize only DUPLICATES values, so quantize
+        # commutes with it exactly — quantizing the small pre-resize
+        # tensor halves the big tensor's HBM write AND the conv's read,
+        # and the resize itself is an int8 gather. The resized tensor's
+        # only consumer is this conv, so no bf16 copy is needed.
+        s = _handoff_scale(self, "conv", c, self.out_channels)
+        if s is not None:
+            x = quant._quantize_activation(x, s)[0]
         x = jax.image.resize(x, (n, th, tw, c), "nearest")
         return QConv(self.out_channels, (3, 3), padding="SAME",
                      dtype=self.dtype, name="conv")(x)
