@@ -126,7 +126,9 @@ def multihost_init() -> None:
     real 2-process CPU test drives (tests/test_multiprocess.py)."""
     nproc_env = os.environ.get("JAX_PROCESS_COUNT")
     addr = os.environ.get("COORDINATOR_ADDRESS")
-    if nproc_env is None and not addr:
+    if not addr and (nproc_env is None or int(nproc_env) <= 1):
+        # single process (explicitly or by default) and no coordinator:
+        # nothing to bring up
         return
     kwargs: dict = {}
     if addr and nproc_env is not None:

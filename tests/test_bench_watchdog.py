@@ -5,8 +5,11 @@ partial output annotated with watchdog_error (the driver parses stdout)."""
 import json
 import subprocess
 import sys
+from pathlib import Path
 
 import pytest
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
 
 
 def _run(snippet: str) -> subprocess.CompletedProcess:
@@ -15,7 +18,7 @@ def _run(snippet: str) -> subprocess.CompletedProcess:
         "import runpy, sys, types\n"
         "bench = runpy.run_path('bench.py')\n" + snippet
     )
-    return subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+    return subprocess.run([sys.executable, "-c", code], cwd=REPO_ROOT,
                           capture_output=True, text=True, timeout=120)
 
 

@@ -89,6 +89,18 @@ class TestClassFrechet:
         assert out["per_class"]["AD"] == pytest.approx(0.0, abs=1e-6)
         assert out["per_class"]["HP"] > 100.0
 
+        # an empty dir for a class with >=2 real images (HP) exercises the
+        # except-ValueError skip in class_frechet_distances (_load_dir
+        # raises on zero images), unlike ASS above which short-circuits on
+        # the <2-real-images guard before _load_dir runs
+        import shutil
+        samples2 = tmp_path / "samples_interrupted"
+        (samples2 / "HP").mkdir(parents=True)
+        shutil.copytree(samples / "AD", samples2 / "AD")
+        out2 = class_frechet_distances(img_dir, csv, samples2,
+                                       image_size=16, extractor=extractor)
+        assert set(out2["per_class"]) == {"AD"}
+
 
 class TestFidDirs:
     def test_same_dir_near_zero_distinct_dirs_positive(self, tmp_path):

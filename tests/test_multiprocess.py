@@ -89,6 +89,17 @@ print(json.dumps({
 """
 
 
+def test_single_process_env_is_noop(monkeypatch):
+    """JAX_PROCESS_COUNT=1 without a coordinator (e.g. a leftover env var on
+    a single-host run) must stay a no-op, not reach
+    jax.distributed.initialize() and die on a missing coordinator_address."""
+    from polyp_tpu.parallel import multihost_init
+
+    monkeypatch.setenv("JAX_PROCESS_COUNT", "1")
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    multihost_init()  # raises ValueError if the guard regresses
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
