@@ -55,9 +55,11 @@ REFERENCE_NORMALIZED_CORES = 16
 
 def bench_sampling(batch_size: int, image_size: int, steps: int,
                    sampler_name: str, quick: bool, repeats: int = 3,
-                   quantize: str | None = None) -> dict:
+                   quantize: str | None = None,
+                   quant_fp_head: int = 0, quant_fp_tail: int = 0) -> dict:
     from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
     from polyp_tpu.ops import quant
+    from polyp_tpu.pipeline import _precision_split, _split_pred
     from polyp_tpu.models import sd14_unet, tiny_condition_unet, tiny_vae, AutoencoderKL
 
     dtype = jnp.bfloat16
@@ -95,13 +97,26 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
         print(f"# calibrated {len(scales)} scales in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
+    quantize, split_bounds = _precision_split(sampler_name, 1000, steps,
+                                              quantize, quant_fp_head,
+                                              quant_fp_tail)
+
     # params/embeddings MUST be jit *arguments*: closing over them embeds
     # 860M weights as HLO constants and compile time explodes.
     @jax.jit
     def generate(uparams, vparams, cond, uncond, key):
-        def raw_fn(z, tt, emb):
-            with quant.override(quantize, scales=scales, t=tt):
+        def apply_fn(z, tt, emb, mode):
+            with quant.override(mode, scales=scales, t=tt):
                 return unet.apply({"params": uparams}, z, tt, emb)
+
+        def raw_fn(z, tt, emb):
+            if split_bounds is None:
+                return apply_fn(z, tt, emb, quantize)
+            # hybrid-precision trajectory (pipeline._precision_split)
+            return jax.lax.cond(
+                _split_pred(tt, split_bounds),
+                lambda z, tt, emb: apply_fn(z, tt, emb, quantize),
+                lambda z, tt, emb: apply_fn(z, tt, emb, None), z, tt, emb)
 
         model_fn = with_cfg(raw_fn, cond, uncond, 7.5)
         latents = sample(sampler_name, model_fn, schedule,
@@ -293,6 +308,14 @@ def main():
     parser.add_argument("--train-diffusion", action="store_true")
     parser.add_argument("--quantize", default=None, choices=["w8a8", "w8a8_static"],
                         help="W8A8 UNet sampling (ops/quant.py); default off")
+    parser.add_argument("--quant-fp-head", type=int, default=0,
+                        help="with --quantize: FIRST N sampling steps full "
+                             "precision (hybrid-precision trajectory; a "
+                             "small bf16 head reproduces the bf16 images "
+                             "almost exactly at ~int8 throughput)")
+    parser.add_argument("--quant-fp-tail", type=int, default=0,
+                        help="with --quantize: final N sampling steps full "
+                             "precision (hybrid-precision trajectory)")
     parser.add_argument("--watchdog", type=int, default=3600,
                         help="fail loudly if the run has not finished "
                              "within N seconds total (0 disables)")
@@ -303,12 +326,20 @@ def main():
     else:
         watchdog, partial = None, {"out": None}
     result = bench_sampling(args.batch, args.image_size, args.steps,
-                            args.sampler, args.quick, quantize=args.quantize)
+                            args.sampler, args.quick, quantize=args.quantize,
+                            quant_fp_head=args.quant_fp_head,
+                            quant_fp_tail=args.quant_fp_tail)
     value = result["samples_per_sec"]
+    tail = ""
+    if args.quantize and args.quant_fp_head:
+        tail += f"+fp_head{args.quant_fp_head}"
+    if args.quantize and args.quant_fp_tail:
+        tail += f"+fp_tail{args.quant_fp_tail}"
     out = {
         "metric": f"{args.image_size}px diffusion samples/sec/chip "
                   f"({args.steps}-step {args.sampler.upper()}"
-                  + (f", {args.quantize}" if args.quantize else "") + ")",
+                  + (f", {args.quantize}{tail}" if args.quantize else "")
+                  + ")",
         "value": round(value, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(value / REFERENCE_CPU_SAMPLES_PER_SEC, 2),

@@ -46,6 +46,18 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                         choices=["w8a8", "w8a8_static"],
                         help="quantized UNet sampling (int8 MXU path, "
                              "ops/quant.py); training is never quantized")
+    parser.add_argument("--quant_fp_head", type=int, default=0,
+                        help="with --quantize: run the FIRST N sampling "
+                             "steps full precision (hybrid-precision "
+                             "trajectory). The early evals set the whole "
+                             "trajectory on a deterministic sampler, so a "
+                             "small bf16 head makes the quantized run "
+                             "reproduce the full-precision images almost "
+                             "exactly at ~the full int8 throughput")
+    parser.add_argument("--quant_fp_tail", type=int, default=0,
+                        help="with --quantize: run the final N sampling "
+                             "steps full precision (the symmetric knob "
+                             "for detail-sensitive workloads)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="device mesh spec, e.g. 'data=8' (pure DP) or "
                              "'data=4,model=2' (DP × Megatron-TP on the "

@@ -48,6 +48,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = DiffusionConfig(quantize=args.quantize,
+                             quant_fp_head=args.quant_fp_head,
+                             quant_fp_tail=args.quant_fp_tail,
                              image_size=args.image_size,
                              num_epochs=args.num_epochs,
                              experiment_name="baseline_with_lora")

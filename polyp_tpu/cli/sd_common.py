@@ -84,7 +84,9 @@ def make_sampler(stack: SDStack, unet_params, text_params,
         stack.tokenizer, schedule, image_size=config.image_size,
         num_steps=config.num_inference_steps,
         guidance_scale=config.guidance_scale, sampler=config.sampler,
-        mesh=mesh, quantize=config.quantize)
+        mesh=mesh, quantize=config.quantize,
+        quant_fp_head=config.quant_fp_head,
+        quant_fp_tail=config.quant_fp_tail)
 
 
 def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,

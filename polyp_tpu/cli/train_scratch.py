@@ -70,6 +70,8 @@ def main(argv=None):
 
     config = DiffusionConfig(
         quantize=args.quantize,
+        quant_fp_head=args.quant_fp_head,
+        quant_fp_tail=args.quant_fp_tail,
         image_size=args.image_size, train_batch_size=args.train_batch_size,
         num_epochs=args.num_epochs,
         num_train_timesteps=args.num_train_timesteps,
@@ -159,7 +161,9 @@ def main(argv=None):
                     _model, st.params, _sched, _cfg.image_size,
                     sampler="ddpm" if args.sample_steps is None else "ddim",
                     num_steps=args.sample_steps, text_embeddings=_emb,
-                    mesh=mesh, quantize=_cfg.quantize)
+                    mesh=mesh, quantize=_cfg.quantize,
+                    quant_fp_head=_cfg.quant_fp_head,
+                    quant_fp_tail=_cfg.quant_fp_tail)
                 out = Path(_cfg.output_dir) / "samples" / _cls
                 generate_to_dir(sampler, quotas[_cls], out,
                                 _cfg.eval_batch_size, _cfg.seed,

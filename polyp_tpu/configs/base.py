@@ -70,6 +70,13 @@ class DiffusionConfig:
     guidance_scale: float = 7.5
     sampler: str = "unipc"  # "ddpm" | "ddim" | "unipc"
     quantize: str | None = None  # "w8a8" UNet sampling (ops/quant.py); TPU extra
+    # Hybrid-precision trajectory (pipeline._precision_split): run the
+    # first / final N inference steps full precision while the middle uses
+    # the quantized UNet. A small fp HEAD makes the quantized run track the
+    # bf16 trajectory almost exactly (early evals set the trajectory on a
+    # deterministic sampler); 0/0 = the pure quantized mode.
+    quant_fp_head: int = 0
+    quant_fp_tail: int = 0
 
     # LoRA
     lora_rank: int = 8

@@ -5,5 +5,6 @@ from polyp_tpu.diffusion.samplers import (  # noqa: F401
     ddim_sample,
     unipc_sample,
     sample,
+    sampler_timesteps,
     with_cfg,
 )

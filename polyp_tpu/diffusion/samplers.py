@@ -36,6 +36,27 @@ from polyp_tpu.ops import dispatch
 
 ModelFn = Callable[[jax.Array, jax.Array], jax.Array]
 
+# (spacing, steps_offset) each sampler uses — the diffusers-parity defaults
+# documented on the samplers below. Exposed via `sampler_timesteps` so
+# callers (e.g. the hybrid-precision quantization split, pipeline.py) can
+# reason about WHICH timestep values a trajectory will visit without
+# re-deriving per-sampler conventions.
+SAMPLER_SPACING: dict[str, tuple[str, int]] = {
+    "ddpm": ("leading", 0),
+    "ddim": ("leading", 1),
+    "dpmpp_2m": ("linspace", 0),
+    "unipc": ("linspace", 0),
+}
+
+
+def sampler_timesteps(name: str, num_train_timesteps: int,
+                      num_steps: int) -> jax.Array:
+    """The exact descending timestep sequence `sample(name, ...)` visits
+    (at the samplers' default spacing arguments)."""
+    spacing, offset = SAMPLER_SPACING[name]
+    return inference_timesteps(num_train_timesteps, num_steps, spacing,
+                               offset)
+
 
 def _inference_scope(fn):
     """Samplers are gradient-free by construction, so they trace under
@@ -86,7 +107,7 @@ def ddpm_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                 clip_sample: bool = True) -> jax.Array:
     T = schedule.num_train_timesteps
     num_steps = T if num_steps is None else num_steps
-    ts = inference_timesteps(T, num_steps, "leading")  # DDPMScheduler default
+    ts = sampler_timesteps("ddpm", T, num_steps)  # DDPMScheduler default
     abar = schedule.alphas_cumprod
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32)
@@ -193,8 +214,8 @@ def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
     whose target is σ=0 exactly — so the final output is the last x̂₀
     (with α_t=1, σ_t=0: x = −α_t·φ₁·x̂₀ = x̂₀)."""
     # 'linspace' (first eval at t=T-1) — DPMSolverMultistepScheduler default.
-    ts = inference_timesteps(schedule.num_train_timesteps, num_steps,
-                             "linspace")
+    ts = sampler_timesteps("dpmpp_2m", schedule.num_train_timesteps,
+                           num_steps)
     alpha, sigma, lam = _lambda_tables(schedule, ts)
     # target tables; the final σ=0 target is special-cased in the step
     alpha_next = jnp.concatenate([alpha[1:], jnp.ones((1,))])
@@ -249,8 +270,7 @@ def unipc_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
       UniC-2: solve [[1,1],[r₁,1]]·ρ = [φ₂/B, 2φ₃'/B] over nodes (r₁, 1).
     """
     # 'linspace' (first eval at t=T-1=999) — UniPCMultistepScheduler default.
-    ts = inference_timesteps(schedule.num_train_timesteps, num_steps,
-                             "linspace")
+    ts = sampler_timesteps("unipc", schedule.num_train_timesteps, num_steps)
     alpha, sigma, lam = _lambda_tables(schedule, ts)
     alpha_next = jnp.concatenate([alpha[1:], jnp.ones((1,))])
     sigma_next = jnp.concatenate([sigma[1:], jnp.ones((1,))])  # dummy tail

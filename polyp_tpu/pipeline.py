@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
+from polyp_tpu.diffusion import (DiffusionSchedule, sample,
+                                 sampler_timesteps, with_cfg)
 from polyp_tpu.ops import quant
 from polyp_tpu.models.vae import SD_VAE_SCALING
 from polyp_tpu.utils.rng import batch_seed_key
@@ -56,6 +57,44 @@ def _padded_batch(batch_size: int, mesh) -> int:
     return -(-batch_size // d) * d
 
 
+def _precision_split(sampler: str, num_train_timesteps: int, num_steps: int,
+                     quantize: str | None, fp_head: int = 0,
+                     fp_tail: int = 0
+                     ) -> tuple[str | None, tuple[int, int] | None]:
+    """Resolve the hybrid-precision trajectory knobs.
+
+    `fp_head` / `fp_tail` = number of FIRST / FINAL inference steps forced
+    full precision while the rest run quantized. On a deterministic
+    sampler the EARLY evals set the whole trajectory — int8 error there
+    diverges the sample from its bf16 twin — while late-step error only
+    perturbs local detail; a small bf16 head therefore makes the quantized
+    run reproduce the full-precision output almost exactly at ~the full
+    int8 throughput (measured sweep: tools/quant_sensitivity.py
+    --fp-split; BASELINE.md). The tail knob is kept for the symmetric
+    experiment and for detail-sensitive workloads.
+
+    Returns (effective_quantize_mode, bounds): quantize the model eval iff
+    lo < t < hi for the traced timestep t (timesteps descend over the
+    trajectory; lo/hi are exclusive sentinels). bounds None means no
+    splitting (pure mode)."""
+    if quantize is None or (fp_head <= 0 and fp_tail <= 0):
+        return quantize, None
+    if fp_head + fp_tail >= num_steps:
+        return None, None  # every step full precision — drop the mode
+    ts = np.asarray(sampler_timesteps(sampler, num_train_timesteps,
+                                      num_steps))
+    hi = int(ts[fp_head - 1]) if fp_head > 0 else num_train_timesteps + 1
+    lo = int(ts[num_steps - fp_tail]) if fp_tail > 0 else -1
+    return quantize, (lo, hi)
+
+
+def _split_pred(t: jax.Array, bounds: tuple[int, int]) -> jax.Array:
+    """Trace-time predicate for _precision_split bounds: quantize this
+    model eval? `t` is the sampler's per-batch timestep array."""
+    lo, hi = bounds
+    return (t[0] > lo) & (t[0] < hi)
+
+
 def to_uint8(images: jax.Array) -> np.ndarray:
     """[-1,1] float NHWC → uint8 (diffusers numpy_to_pil postprocess parity)."""
     arr = np.asarray(jnp.clip(images / 2 + 0.5, 0.0, 1.0))
@@ -69,9 +108,14 @@ class PixelDiffusionSampler:
                  image_size: int, sampler: str = "ddpm",
                  num_steps: int | None = None,
                  text_embeddings: jax.Array | None = None,
-                 mesh=None, quantize: str | None = None):
+                 mesh=None, quantize: str | None = None,
+                 quant_fp_head: int = 0, quant_fp_tail: int = 0):
         self.model = model
-        self.quantize = quantize
+        self.quantize, self._split_bounds = _precision_split(
+            sampler, schedule.num_train_timesteps,
+            num_steps or schedule.num_train_timesteps, quantize,
+            quant_fp_head, quant_fp_tail)
+        quantize = self.quantize
         self.params = params
         self.schedule = schedule
         self.image_size = image_size
@@ -116,15 +160,25 @@ class PixelDiffusionSampler:
             ctx = jnp.broadcast_to(text_embeddings,
                                    (batch_size,) + text_embeddings.shape[-2:])
 
-            def model_fn(x, t):
-                with quant.override(self.quantize, scales=self._quant_scales,
-                                    t=t):
+            def apply_fn(x, t, mode):
+                with quant.override(mode, scales=self._quant_scales, t=t):
                     return self.model.apply({"params": params}, x, t, ctx)
         else:
-            def model_fn(x, t):
-                with quant.override(self.quantize, scales=self._quant_scales,
-                                    t=t):
+            def apply_fn(x, t, mode):
+                with quant.override(mode, scales=self._quant_scales, t=t):
                     return self.model.apply({"params": params}, x, t)
+
+        def model_fn(x, t):
+            if self._split_bounds is None:
+                return apply_fn(x, t, self.quantize)
+            # hybrid-precision trajectory (_precision_split): quantized
+            # UNet for the mid-trajectory steps, full precision for the
+            # fp_head/fp_tail ends. Both branches live in the compiled
+            # scan body; each step executes only the taken one.
+            return jax.lax.cond(
+                _split_pred(t, self._split_bounds),
+                lambda x, t: apply_fn(x, t, self.quantize),
+                lambda x, t: apply_fn(x, t, None), x, t)
 
         with _mesh_trace_scope(self.mesh):
             return sample(self.sampler, model_fn, self.schedule, shape, key,
@@ -145,9 +199,12 @@ class StableDiffusionSampler:
                  text_params, tokenizer, schedule: DiffusionSchedule,
                  image_size: int = 256, num_steps: int = 25,
                  guidance_scale: float = 7.5, sampler: str = "unipc",
-                 mesh=None, quantize: str | None = None):
+                 mesh=None, quantize: str | None = None,
+                 quant_fp_head: int = 0, quant_fp_tail: int = 0):
         self.unet = unet
-        self.quantize = quantize
+        self.quantize, self._split_bounds = _precision_split(
+            sampler, schedule.num_train_timesteps, num_steps, quantize,
+            quant_fp_head, quant_fp_tail)
         self._quant_scales: dict | None = None
         self.unet_params = unet_params
         self.vae = vae
@@ -181,12 +238,21 @@ class StableDiffusionSampler:
                        batch_size: int):
         latent_size = self.image_size // 8
 
-        def raw_fn(x, t, emb):
+        def apply_fn(x, t, emb, mode):
             # quantization scoped to the UNet only (trace-time context):
             # the VAE decode below stays full-precision.
-            with quant.override(self.quantize, scales=self._quant_scales,
-                                t=t):
+            with quant.override(mode, scales=self._quant_scales, t=t):
                 return self.unet.apply({"params": unet_params}, x, t, emb)
+
+        def raw_fn(x, t, emb):
+            if self._split_bounds is None:
+                return apply_fn(x, t, emb, self.quantize)
+            # hybrid-precision trajectory (see _precision_split): bf16 for
+            # the fp_head/fp_tail end steps, int8 for the middle.
+            return jax.lax.cond(
+                _split_pred(t, self._split_bounds),
+                lambda x, t, emb: apply_fn(x, t, emb, self.quantize),
+                lambda x, t, emb: apply_fn(x, t, emb, None), x, t, emb)
 
         model_fn = with_cfg(raw_fn, cond, uncond, self.guidance_scale)
         shape = (batch_size, latent_size, latent_size, 4)

@@ -34,17 +34,11 @@ FAMILIES = ("conv1", "conv2", "conv_shortcut", "proj_in", "proj_out",
 GATE_REL_L2 = 0.05
 
 
-def run_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
-              quick: bool = False, seed: int = 0,
-              forward_only: bool = False) -> dict:
-    """`forward_only=True` scores each family by the rel-L2 of ONE UNet
-    forward (mid-trajectory noisy latent) instead of a full fixed-seed
-    sampling run — each config then compiles the bare forward (~minutes)
-    rather than the whole 25-step scan (~tens of minutes on this host).
-    Full-trajectory deltas are still measured for the aggregate configs
-    (full w8a8, static, skip-worst-1)."""
+def _sweep_context(batch: int, image_size: int, steps: int, quick: bool,
+                   seed: int) -> dict:
+    """Shared sweep plumbing: the SD stack on random weights, a fixed-seed
+    bf16 reference image batch, and `images(mode, ...)`/`rel_l2` closures."""
     from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
-    from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
     from polyp_tpu.models import (AutoencoderKL, sd14_unet,
                                   tiny_condition_unet, tiny_vae)
     from polyp_tpu.ops import quant
@@ -67,13 +61,26 @@ def run_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
     uncond = jnp.zeros((1, 77, ctx_dim), dtype)
     schedule = DiffusionSchedule.create(1000, "scaled_linear", 0.00085, 0.012)
 
-    def make_generate(mode, scales=None, skip=(), only=None):
+    def make_generate(mode, scales=None, skip=(), only=None,
+                      split_bounds=None):
+        from polyp_tpu.pipeline import _split_pred
+
         @jax.jit
         def generate(uparams, vparams, cond, uncond, key):
-            def raw_fn(z, tt, emb):
-                with quant.override(mode, scales=scales, skip=skip,
+            def apply_fn(z, tt, emb, m):
+                with quant.override(m, scales=scales, skip=skip,
                                     only=only, t=tt):
                     return unet.apply({"params": uparams}, z, tt, emb)
+
+            def raw_fn(z, tt, emb):
+                if split_bounds is None:
+                    return apply_fn(z, tt, emb, mode)
+                # hybrid-precision trajectory (pipeline._precision_split)
+                return jax.lax.cond(
+                    _split_pred(tt, split_bounds),
+                    lambda z, tt, emb: apply_fn(z, tt, emb, mode),
+                    lambda z, tt, emb: apply_fn(z, tt, emb, None),
+                    z, tt, emb)
 
             model_fn = with_cfg(raw_fn, cond, uncond, 7.5)
             latents = sample("ddim", model_fn, schedule,
@@ -92,6 +99,31 @@ def run_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
 
     def rel_l2(img):
         return float(np.linalg.norm(img - ref) / np.linalg.norm(ref))
+
+    return {"unet": unet, "uparams": uparams, "vparams": vparams,
+            "cond": cond, "uncond": uncond, "schedule": schedule,
+            "latent": latent, "dtype": dtype, "images": images,
+            "rel_l2": rel_l2}
+
+
+def run_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
+              quick: bool = False, seed: int = 0,
+              forward_only: bool = False) -> dict:
+    """`forward_only=True` scores each family by the rel-L2 of ONE UNet
+    forward (mid-trajectory noisy latent) instead of a full fixed-seed
+    sampling run — each config then compiles the bare forward (~minutes)
+    rather than the whole 25-step scan (~tens of minutes on this host).
+    Full-trajectory deltas are still measured for the aggregate configs
+    (full w8a8, static, skip-worst-1)."""
+    from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
+    from polyp_tpu.ops import quant
+
+    ctx = _sweep_context(batch, image_size, steps, quick, seed)
+    unet, uparams, schedule, latent, dtype = (
+        ctx["unet"], ctx["uparams"], ctx["schedule"], ctx["latent"],
+        ctx["dtype"])
+    cond, uncond = ctx["cond"], ctx["uncond"]
+    images, rel_l2 = ctx["images"], ctx["rel_l2"]
 
     report: dict = {"gate_rel_l2": GATE_REL_L2, "batch": batch,
                     "steps": steps, "image_size": image_size,
@@ -159,6 +191,55 @@ def run_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
     return report
 
 
+def run_split_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
+                    quick: bool = False, seed: int = 0,
+                    splits: tuple[int, ...] = (1, 2, 3, 5, 8),
+                    mode: str = "w8a8_static") -> dict:
+    """Hybrid-precision trajectory sweep: fixed-seed image rel L2 vs bf16
+    with the first N (fp_head) or last N (fp_tail) sampling steps forced
+    full precision (pipeline._precision_split). The interesting output is
+    the SMALLEST split that passes GATE_REL_L2 — its throughput
+    (bench.py --quantize ... --quant-fp-head N) is then the best
+    gate-passing number. Measured finding (toy + full scale, BASELINE.md):
+    the fp HEAD is the effective direction — on a deterministic sampler
+    the early evals set the trajectory, so quantizing only the middle/late
+    steps keeps the output near its bf16 twin."""
+    from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
+    from polyp_tpu.pipeline import _precision_split
+
+    report = {"gate_rel_l2": GATE_REL_L2, "batch": batch, "steps": steps,
+              "image_size": image_size, "quick": quick, "mode": mode,
+              "splits": {}}
+    ctx = _sweep_context(batch, image_size, steps, quick, seed)
+    scales = None
+    if mode == "w8a8_static":
+        scales = calibrate_unet_scales(ctx["unet"], ctx["uparams"],
+                                       ctx["schedule"],
+                                       (2, ctx["latent"], ctx["latent"], 4),
+                                       ctx["cond"], ctx["uncond"],
+                                       num_steps=8)
+
+    def measure(fp_head, fp_tail):
+        eff_mode, bounds = _precision_split("ddim", 1000, steps, mode,
+                                            fp_head, fp_tail)
+        img = ctx["images"](eff_mode, scales=scales, split_bounds=bounds)
+        return ctx["rel_l2"](img)
+
+    r0 = measure(0, 0)
+    report["splits"]["0"] = {"rel_l2": r0, "gate_pass": r0 < GATE_REL_L2}
+    print(f"# pure {mode}: rel_l2={r0:.4f}", flush=True)
+    for n in splits:
+        rh = measure(n, 0)
+        rt = measure(0, n)
+        report["splits"][str(n)] = {
+            "head_rel_l2": rh, "head_gate_pass": rh < GATE_REL_L2,
+            "tail_rel_l2": rt, "tail_gate_pass": rt < GATE_REL_L2}
+        print(f"# fp_head={n}: rel_l2={rh:.4f} "
+              f"gate={'PASS' if rh < GATE_REL_L2 else 'fail'}   "
+              f"fp_tail={n}: rel_l2={rt:.4f}", flush=True)
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
@@ -169,9 +250,24 @@ def main():
                     help="score families on one UNet forward (compiles the "
                          "bare forward per family instead of the full "
                          "sampling scan)")
+    ap.add_argument("--fp-split", type=str, default=None,
+                    help="comma-separated split sizes to sweep instead of "
+                         "the family sweep (hybrid-precision trajectory; "
+                         "each N is measured as fp_head=N and fp_tail=N), "
+                         "e.g. '1,2,3,5,8'")
+    ap.add_argument("--mode", default="w8a8_static",
+                    choices=["w8a8", "w8a8_static"],
+                    help="quant mode for the --fp-split sweep")
     args = ap.parse_args()
-    print(json.dumps(run_sweep(args.batch, args.image_size, args.steps,
-                               args.quick, forward_only=args.forward_only)))
+    if args.fp_split is not None:
+        splits = tuple(int(v) for v in args.fp_split.split(",") if v)
+        print(json.dumps(run_split_sweep(
+            args.batch, args.image_size, args.steps, args.quick,
+            splits=splits, mode=args.mode)))
+    else:
+        print(json.dumps(run_sweep(args.batch, args.image_size, args.steps,
+                                   args.quick,
+                                   forward_only=args.forward_only)))
 
 
 if __name__ == "__main__":
