@@ -396,6 +396,18 @@ class FeedForward(nn.Module):
                                 b0.astype(self.dtype), w2.astype(self.dtype),
                                 b2.astype(self.dtype))
             p0, p2 = f"{base}/ff_net_0_proj", f"{base}/ff_net_2"
+            if (quant.quantization() in ("w8a8", "w8a8_static")
+                    and os.environ.get("POLYP_GEGLU_PT", "0") == "1"
+                    and quant.dense_quantizable(*w0.shape, p0)
+                    and quant.dense_quantizable(*w2.shape, p2)):
+                # per-token in-VMEM activation scales (finer grid, no
+                # calibration operands) — the only fused option for the
+                # DYNAMIC mode, whose scale depends on the intermediate.
+                # Opt-in until the chip A/B lands (measure-then-enable).
+                return fg.geglu_w8a8_pt(
+                    x.astype(self.dtype), w0.astype(self.dtype),
+                    b0.astype(self.dtype), w2.astype(self.dtype),
+                    b2.astype(self.dtype))
             if (quant.quantization() == "w8a8_static"
                     and quant.dense_quantizable(*w0.shape, p0)
                     and quant.dense_quantizable(*w2.shape, p2)):

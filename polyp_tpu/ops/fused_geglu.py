@@ -319,6 +319,181 @@ def _geglu_w8a8_bwd(_, g):
 geglu_w8a8.defvjp(_geglu_w8a8_fwd, _geglu_w8a8_bwd)
 
 
+def _geglu_q_pt_kernel(x_ref, wa_ref, sa_ref, ba_ref, wg_ref, sg_ref, bg_ref,
+                       w2_ref, s2_ref, b2_ref, o_ref, acc_ref, *, n_h: int):
+    """Per-token (row-wise) activation-scale variant of `_geglu_q_kernel`:
+    every token quantizes with its own in-VMEM amax instead of one
+    calibrated per-layer scalar — finer quantization grid (the row max is
+    ≤ the tensor max) at zero HBM cost, and no calibration needed, so the
+    DYNAMIC w8a8 mode can dispatch it too (the per-layer XLA path can't
+    fuse a dynamic scale that depends on the not-yet-computed
+    intermediate). The h quantize is per (row, hidden-tile) — finer still —
+    which forces f32 cross-tile accumulation (each tile dequantizes with
+    its own row scales; int32 products are ≤127²·block_h ≈ 8.3e6 < 2²⁴ so
+    the f32 adds are exact on the integer part)."""
+    j = pl.program_id(1)
+    x32 = x_ref[...].astype(jnp.float32)
+    sxr = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True),
+                      1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x32 / sxr), -127, 127).astype(jnp.int8)
+    a32 = jax.lax.dot_general(xq, wa_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    g32 = jax.lax.dot_general(xq, wg_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    a = (a32.astype(jnp.float32) * (sxr * sa_ref[...].astype(jnp.float32))
+         + ba_ref[...].astype(jnp.float32))
+    g = (g32.astype(jnp.float32) * (sxr * sg_ref[...].astype(jnp.float32))
+         + bg_ref[...].astype(jnp.float32))
+    h = a * _exact_gelu(g)
+    shr = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True),
+                      1e-12) / 127.0
+    hq = jnp.clip(jnp.round(h / shr), -127, 127).astype(jnp.int8)
+    part32 = jax.lax.dot_general(hq, w2_ref[...], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+    part = part32.astype(jnp.float32) * (shr * s2_ref[...].astype(jnp.float32))
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[...] += part
+
+    @pl.when(j == n_h - 1)
+    def _emit():
+        o_ref[...] = (acc_ref[...]
+                      + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "block_h"))
+def fused_geglu_w8a8_pt(x: jax.Array, w1: jax.Array, b1: jax.Array,
+                        w2: jax.Array, b2: jax.Array,
+                        block_t: int = DEFAULT_BLOCK_T,
+                        block_h: int = DEFAULT_BLOCK_H) -> jax.Array:
+    """Per-token W8A8 fused GEGLU: same contract as `fused_geglu_w8a8`
+    minus the calibrated scales (activation scales are computed per row in
+    VMEM — see `_geglu_q_pt_kernel`). Weight quantization stays outside so
+    XLA hoists it out of the sampling scan."""
+    from polyp_tpu.ops import quant
+
+    n, t, c = x.shape
+    hidden = w1.shape[1] // 2
+    wq1, sw1 = quant.quantize_weight(w1, (0,))      # sw1: [1, 2H]
+    wq2, sw2 = quant.quantize_weight(w2, (0,))      # sw2: [1, C]
+    wa, wg = wq1[:, :hidden], wq1[:, hidden:]
+    sa, sg = sw1[:, :hidden], sw1[:, hidden:]
+    ba, bg = b1[:hidden].reshape(1, hidden), b1[hidden:].reshape(1, hidden)
+    b2r = b2.reshape(1, c)
+
+    block_t = _tile(n * t, block_t, 128)
+    block_h = _tile(hidden, block_h, 128)
+    n_h = hidden // block_h
+    grid = ((n * t) // block_t, n_h)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_geglu_q_pt_kernel, n_h=n_h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_h, c), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            full((1, c)),
+            full((1, c)),
+        ],
+        out_specs=pl.BlockSpec((block_t, c), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * t, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_t, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * t * c * 2 * hidden + 2 * n * t * hidden * c,
+            bytes_accessed=(x.size * 2 + wq1.size + wq2.size
+                            + x.size * 2),
+            transcendentals=n * t * hidden,
+        ),
+    )(x.reshape(n * t, c), wa, sa, ba, wg, sg, bg, wq2, sw2, b2r)
+    return out.reshape(n, t, c)
+
+
+@jax.custom_vjp
+def geglu_w8a8_pt(x, w1, b1, w2, b2):
+    """Dispatch entry for the per-token quant FF (dynamic w8a8 AND — with
+    POLYP_GEGLU_PT=1 — the static mode). Inference-only like every w8a8
+    path (refusing custom_vjp, same contract as `geglu_w8a8`)."""
+    bt, bh = _BLOCKS.get(x.shape[-1], (DEFAULT_BLOCK_T, DEFAULT_BLOCK_H))
+    return fused_geglu_w8a8_pt(x, w1, b1, w2, b2, block_t=bt, block_h=bh)
+
+
+def _geglu_w8a8_pt_fwd(*args):
+    return geglu_w8a8_pt(*args), None
+
+
+def _geglu_w8a8_pt_bwd(_, g):
+    raise NotImplementedError(
+        "the fused w8a8 GEGLU path is inference-only: int8 activation "
+        "rounding has zero gradient. Train in full precision (the "
+        "quantized modes are sampling-time optimizations).")
+
+
+geglu_w8a8_pt.defvjp(_geglu_w8a8_pt_fwd, _geglu_w8a8_pt_bwd)
+
+
+def reference_geglu_w8a8_pt(x, w1, b1, w2, b2, out_dtype=None):
+    """Plain-XLA per-token oracle for `fused_geglu_w8a8_pt` parity tests:
+    identical math (row-wise activation scales, per-output-channel weight
+    scales, exact gelu) with the h quantize done per (row, hidden-tile) to
+    mirror the kernel's tiling exactly."""
+    from polyp_tpu.ops import quant
+
+    out_dtype = out_dtype or x.dtype
+    n, t, c = x.shape
+    hidden = w1.shape[1] // 2
+    bt, bh = _BLOCKS.get(c, (DEFAULT_BLOCK_T, DEFAULT_BLOCK_H))
+    block_h = _tile(hidden, bh, 128)
+
+    wq1, sw1 = quant.quantize_weight(w1, (0,))
+    wq2, sw2 = quant.quantize_weight(w2, (0,))
+    x32 = x.reshape(n * t, c).astype(jnp.float32)
+    sxr = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True),
+                      1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x32 / sxr), -127, 127).astype(jnp.int8)
+    h1 = jax.lax.dot_general(xq, wq1, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    h1 = h1.astype(jnp.float32) * (sxr * sw1.astype(jnp.float32)) + b1
+    a, gate = jnp.split(h1, 2, axis=-1)
+    h = a * jax.nn.gelu(gate, approximate=False)
+    out = jnp.zeros((n * t, c), jnp.float32)
+    for j0 in range(0, hidden, block_h):
+        ht = h[:, j0:j0 + block_h]
+        shr = jnp.maximum(jnp.max(jnp.abs(ht), axis=1, keepdims=True),
+                          1e-12) / 127.0
+        hq = jnp.clip(jnp.round(ht / shr), -127, 127).astype(jnp.int8)
+        p = jax.lax.dot_general(hq, wq2[j0:j0 + block_h],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        out = out + p.astype(jnp.float32) * (shr * sw2.astype(jnp.float32))
+    return (out + b2).astype(out_dtype).reshape(n, t, c)
+
+
 def reference_geglu_w8a8(x, w1, b1, w2, b2, act_scale1, act_scale2,
                          out_dtype=None):
     """The per-layer static-quant FF the kernel replaces (composition of

@@ -175,6 +175,111 @@ def test_fused_geglu_w8a8_matches_per_layer_path_interpret():
         (rel(one, full), rel(ref, full))
 
 
+def test_fused_geglu_w8a8_pt_matches_oracle_interpret():
+    """The per-token int8 fused FF == its plain-XLA oracle (row-wise
+    activation scales, tile-mirrored h quantize), in both the one-tile and
+    hidden-tiled configs — and its quantization noise vs full precision is
+    no worse than the per-tensor static kernel's (the row max is ≤ the
+    tensor max, so the quantization grid is finer)."""
+    from unittest import mock
+
+    import polyp_tpu.ops.fused_geglu as fg
+
+    x, w1, b1, w2, b2 = _geglu_case(jax.random.PRNGKey(11))
+    full = fg.reference_geglu(x, w1, b1, w2, b2)
+
+    def rel(p, q):
+        return float(np.linalg.norm(np.asarray(p - q))
+                     / np.linalg.norm(np.asarray(q)))
+
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        one = fg.fused_geglu_w8a8_pt.__wrapped__(x, w1, b1, w2, b2,
+                                                 block_t=128, block_h=128)
+        tiled = fg.fused_geglu_w8a8_pt.__wrapped__(x, w1, b1, w2, b2,
+                                                   block_t=128, block_h=64)
+    # oracle mirrors _BLOCKS tiling for c=64 → block_h = min(128, hidden)
+    ref = fg.reference_geglu_w8a8_pt(x, w1, b1, w2, b2)
+    assert rel(one, ref) < 0.01, rel(one, ref)
+    assert np.isfinite(np.asarray(tiled)).all()
+
+    # per-tensor static baseline with amax-derived (clipping-free) scales
+    s1 = float(jnp.max(jnp.abs(x))) * 1.05 / 127.0
+    h = x @ w1 + b1
+    a, gate = jnp.split(h, 2, axis=-1)
+    s2 = float(jnp.max(jnp.abs(a * jax.nn.gelu(gate, approximate=False)))
+               ) * 1.05 / 127.0
+    static = fg.reference_geglu_w8a8(x, w1, b1, w2, b2, s1, s2)
+    assert rel(one, full) <= rel(static, full) * 1.05, \
+        (rel(one, full), rel(static, full))
+
+
+def test_fused_geglu_w8a8_pt_refuses_gradients():
+    from unittest import mock
+
+    import polyp_tpu.ops.fused_geglu as fg
+
+    x, w1, b1, w2, b2 = _geglu_case(jax.random.PRNGKey(12))
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        with pytest.raises(NotImplementedError, match="inference-only"):
+            jax.grad(lambda x: jnp.sum(
+                fg.geglu_w8a8_pt(x, w1, b1, w2, b2)))(x)
+
+
+def test_feedforward_dispatches_per_token_kernel(monkeypatch):
+    """POLYP_GEGLU_PT=1 routes BOTH quant modes' FF through geglu_w8a8_pt
+    (the dynamic mode has no other fused option — its activation scale
+    depends on the intermediate); with the flag off (default) the dynamic
+    mode keeps the per-layer dense path."""
+    from unittest import mock
+
+    import polyp_tpu.ops.fused_geglu as fg
+    from polyp_tpu.models.unet_blocks import FeedForward
+    from polyp_tpu.ops import dispatch, quant
+
+    ff = FeedForward(dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 64), jnp.float32)
+    params = ff.init(jax.random.PRNGKey(1), x)
+    plain = ff.apply(params, x)
+
+    calls = []
+    real = fg.geglu_w8a8_pt
+
+    def spy(*a):
+        calls.append(1)
+        return real(*a)
+
+    monkeypatch.setattr(fg, "supported", lambda *a: True)
+    monkeypatch.setattr(fg, "geglu_w8a8_pt", spy)
+    monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)), \
+            dispatch.inference():
+        monkeypatch.setenv("POLYP_GEGLU_PT", "1")
+        with quant.override("w8a8"):
+            out = ff.apply(params, x)
+        assert calls, "per-token kernel not dispatched for dynamic w8a8"
+        rel = (np.linalg.norm(np.asarray(out - plain))
+               / np.linalg.norm(np.asarray(plain)))
+        assert rel < 0.05, rel  # int8 noise, not a wrong program
+
+        calls.clear()
+        monkeypatch.delenv("POLYP_GEGLU_PT")
+        with quant.override("w8a8"):
+            ff.apply(params, x)
+        assert not calls, "flag off must keep the per-layer dynamic path"
+
+        # static mode with the flag: per-token takes precedence over the
+        # calibrated-scalar kernel
+        calls.clear()
+        monkeypatch.setenv("POLYP_GEGLU_PT", "1")
+        scales = {"/ff_net_0_proj": 0.05, "/ff_net_2": 0.05}
+        with quant.override("w8a8_static", scales=scales):
+            ff.apply(params, x)
+        assert calls, "per-token kernel not dispatched for static mode"
+
+
 def test_fused_geglu_w8a8_refuses_gradients():
     """geglu_w8a8 sits on the inference-only int8 path: differentiating
     through it must raise, not silently return zero-ish grads."""
