@@ -59,7 +59,7 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
                    quant_fp_head: int = 0, quant_fp_tail: int = 0) -> dict:
     from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
     from polyp_tpu.ops import quant
-    from polyp_tpu.pipeline import _precision_split, _split_pred
+    from polyp_tpu.pipeline import _precision_segments, _precision_split
     from polyp_tpu.models import sd14_unet, tiny_condition_unet, tiny_vae, AutoencoderKL
 
     dtype = jnp.bfloat16
@@ -97,9 +97,8 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
         print(f"# calibrated {len(scales)} scales in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
-    quantize, split_bounds = _precision_split(sampler_name, 1000, steps,
-                                              quantize, quant_fp_head,
-                                              quant_fp_tail)
+    quantize, split = _precision_split(steps, quantize, quant_fp_head,
+                                       quant_fp_tail)
 
     # params/embeddings MUST be jit *arguments*: closing over them embeds
     # 860M weights as HLO constants and compile time explodes.
@@ -109,16 +108,15 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
             with quant.override(mode, scales=scales, t=tt):
                 return unet.apply({"params": uparams}, z, tt, emb)
 
-        def raw_fn(z, tt, emb):
-            if split_bounds is None:
-                return apply_fn(z, tt, emb, quantize)
-            # hybrid-precision trajectory (pipeline._precision_split)
-            return jax.lax.cond(
-                _split_pred(tt, split_bounds),
-                lambda z, tt, emb: apply_fn(z, tt, emb, quantize),
-                lambda z, tt, emb: apply_fn(z, tt, emb, None), z, tt, emb)
+        def q_raw(z, tt, emb):
+            return apply_fn(z, tt, emb, quantize)
 
-        model_fn = with_cfg(raw_fn, cond, uncond, 7.5)
+        model_fn = with_cfg(q_raw, cond, uncond, 7.5)
+        if split is not None:
+            # hybrid-precision trajectory (pipeline._precision_split)
+            fp_model = with_cfg(lambda z, tt, emb: apply_fn(z, tt, emb, None),
+                                cond, uncond, 7.5)
+            model_fn = _precision_segments(model_fn, fp_model, steps, split)
         latents = sample(sampler_name, model_fn, schedule,
                          (batch_size, latent, latent, 4), key, steps)
         return vae.apply(vparams, latents.astype(dtype) / 0.18215,

@@ -10,7 +10,10 @@ same fused program. This loop is THE throughput metric (BASELINE.json).
 All samplers share the signature
     sample_fn(model_fn, schedule, shape, key, num_steps, ...) -> x0-like
 where `model_fn(x, t_batch) -> model_out` is an already-conditioned denoiser
-(use `with_cfg` to wrap a conditional model).
+(use `with_cfg` to wrap a conditional model) — or a SEGMENT list
+[(num_steps_i, model_fn_i), ...] run as consecutive scans with continued
+step indices (bit-identical to one scan; see _as_segments), the mechanism
+behind the hybrid-precision trajectory (pipeline._precision_split).
 
 Samplers:
 * `ddpm_sample`  — ancestral, fixed-small variance, optional x0 clipping
@@ -96,6 +99,40 @@ def _bcast_t(t: jax.Array, n: int) -> jax.Array:
     return jnp.full((n,), t, jnp.int32)
 
 
+# Every sampler accepts either one model_fn or a SEGMENT list
+# [(num_steps_i, model_fn_i), ...] summing to num_steps: the scan is run as
+# consecutive segments with CONTINUED step indices, which is bit-identical
+# to the single scan (each step body depends only on (i, t, carry)) while
+# letting every segment trace a different model function. This is how the
+# hybrid-precision trajectory (pipeline._precision_split) switches the
+# UNet between quantized and full precision WITHOUT a lax.cond in the scan
+# body — XLA does not hoist loop-invariant code (e.g. the in-graph int8
+# weight quantization, ~860M-param reads per step on the SD UNet) out of a
+# conditional branch, but hoists it fine out of each segment's own scan
+# (verified on HLO: 58/58 weight-quantize rounds stayed in-loop under
+# lax.cond, 0 under segmented scans).
+
+def _as_segments(model_fn, num_steps: int) -> list[tuple[int, ModelFn]]:
+    if callable(model_fn):
+        return [(num_steps, model_fn)]
+    segments = [(int(n), fn) for n, fn in model_fn]
+    total = sum(n for n, _ in segments)
+    if total != num_steps:
+        raise ValueError(f"model_fn segments cover {total} steps, "
+                         f"sampler runs {num_steps}")
+    return [(n, fn) for n, fn in segments if n > 0]
+
+
+def _segmented_scan(step_factory, carry, xs_of, model_fn, num_steps: int):
+    """Run `step_factory(fn)` over consecutive index ranges, one scan per
+    segment. `xs_of(lo, hi)` builds the scan xs for steps [lo, hi)."""
+    off = 0
+    for n, fn in _as_segments(model_fn, num_steps):
+        carry, _ = jax.lax.scan(step_factory(fn), carry, xs_of(off, off + n))
+        off += n
+    return carry
+
+
 # ---------------------------------------------------------------------------
 # DDPM ancestral
 # ---------------------------------------------------------------------------
@@ -112,32 +149,37 @@ def ddpm_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32)
 
-    def step(carry, args):
-        x, key = carry
-        i, t = args
-        t_prev = jnp.where(i + 1 < num_steps, ts[jnp.minimum(i + 1, num_steps - 1)], -1)
-        abar_t = abar[t]
-        # diffusers DDPMScheduler uses exactly 1.0 past the last step
-        abar_prev = jnp.where(t_prev >= 0, abar[jnp.maximum(t_prev, 0)], 1.0)
-        alpha_t = abar_t / abar_prev
-        beta_t = 1.0 - alpha_t
+    def step_for(fn):
+        def step(carry, args):
+            x, key = carry
+            i, t = args
+            t_prev = jnp.where(i + 1 < num_steps,
+                               ts[jnp.minimum(i + 1, num_steps - 1)], -1)
+            abar_t = abar[t]
+            # diffusers DDPMScheduler uses exactly 1.0 past the last step
+            abar_prev = jnp.where(t_prev >= 0, abar[jnp.maximum(t_prev, 0)],
+                                  1.0)
+            alpha_t = abar_t / abar_prev
+            beta_t = 1.0 - alpha_t
 
-        out = model_fn(x, _bcast_t(t, shape[0]))
-        x0, eps = schedule.to_x0_eps(out, x, t)
-        if clip_sample:
-            x0 = jnp.clip(x0, -1.0, 1.0)
-        # posterior mean q(x_{t-1}|x_t, x0)
-        coef_x0 = jnp.sqrt(abar_prev) * beta_t / (1.0 - abar_t)
-        coef_xt = jnp.sqrt(alpha_t) * (1.0 - abar_prev) / (1.0 - abar_t)
-        mean = coef_x0 * x0 + coef_xt * x
-        var = jnp.clip(beta_t * (1.0 - abar_prev) / (1.0 - abar_t), 1e-20)
-        key, nkey = jax.random.split(key)
-        noise = jax.random.normal(nkey, shape, jnp.float32)
-        x = mean + jnp.where(t > 0, jnp.sqrt(var), 0.0) * noise
-        return (x, key), None
+            out = fn(x, _bcast_t(t, shape[0]))
+            x0, eps = schedule.to_x0_eps(out, x, t)
+            if clip_sample:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+            # posterior mean q(x_{t-1}|x_t, x0)
+            coef_x0 = jnp.sqrt(abar_prev) * beta_t / (1.0 - abar_t)
+            coef_xt = jnp.sqrt(alpha_t) * (1.0 - abar_prev) / (1.0 - abar_t)
+            mean = coef_x0 * x0 + coef_xt * x
+            var = jnp.clip(beta_t * (1.0 - abar_prev) / (1.0 - abar_t), 1e-20)
+            key, nkey = jax.random.split(key)
+            noise = jax.random.normal(nkey, shape, jnp.float32)
+            x = mean + jnp.where(t > 0, jnp.sqrt(var), 0.0) * noise
+            return (x, key), None
+        return step
 
-    (x, _), _ = jax.lax.scan(step, (x, key),
-                             (jnp.arange(num_steps), ts))
+    x, _ = _segmented_scan(step_for, (x, key),
+                           lambda lo, hi: (jnp.arange(lo, hi), ts[lo:hi]),
+                           model_fn, num_steps)
     return x
 
 
@@ -165,29 +207,34 @@ def ddim_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32)
 
-    def step(carry, args):
-        x, key = carry
-        i, t = args
-        t_prev = jnp.where(i + 1 < num_steps, ts[jnp.minimum(i + 1, num_steps - 1)], -1)
-        abar_t = abar[t]
-        abar_prev = jnp.where(t_prev >= 0, abar[jnp.maximum(t_prev, 0)],
-                              final_abar)
+    def step_for(fn):
+        def step(carry, args):
+            x, key = carry
+            i, t = args
+            t_prev = jnp.where(i + 1 < num_steps,
+                               ts[jnp.minimum(i + 1, num_steps - 1)], -1)
+            abar_t = abar[t]
+            abar_prev = jnp.where(t_prev >= 0, abar[jnp.maximum(t_prev, 0)],
+                                  final_abar)
 
-        out = model_fn(x, _bcast_t(t, shape[0]))
-        x0, eps = schedule.to_x0_eps(out, x, t)
-        if clip_sample:
-            x0 = jnp.clip(x0, -1.0, 1.0)
-            eps = (x - jnp.sqrt(abar_t) * x0) / jnp.sqrt(1.0 - abar_t)
+            out = fn(x, _bcast_t(t, shape[0]))
+            x0, eps = schedule.to_x0_eps(out, x, t)
+            if clip_sample:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+                eps = (x - jnp.sqrt(abar_t) * x0) / jnp.sqrt(1.0 - abar_t)
 
-        sigma = eta * jnp.sqrt((1.0 - abar_prev) / (1.0 - abar_t)) \
-            * jnp.sqrt(1.0 - abar_t / abar_prev)
-        dir_xt = jnp.sqrt(jnp.clip(1.0 - abar_prev - sigma ** 2, 0.0)) * eps
-        key, nkey = jax.random.split(key)
-        noise = jax.random.normal(nkey, shape, jnp.float32)
-        x = jnp.sqrt(abar_prev) * x0 + dir_xt + sigma * noise
-        return (x, key), None
+            sigma = eta * jnp.sqrt((1.0 - abar_prev) / (1.0 - abar_t)) \
+                * jnp.sqrt(1.0 - abar_t / abar_prev)
+            dir_xt = jnp.sqrt(jnp.clip(1.0 - abar_prev - sigma ** 2, 0.0)) * eps
+            key, nkey = jax.random.split(key)
+            noise = jax.random.normal(nkey, shape, jnp.float32)
+            x = jnp.sqrt(abar_prev) * x0 + dir_xt + sigma * noise
+            return (x, key), None
+        return step
 
-    (x, _), _ = jax.lax.scan(step, (x, key), (jnp.arange(num_steps), ts))
+    x, _ = _segmented_scan(step_for, (x, key),
+                           lambda lo, hi: (jnp.arange(lo, hi), ts[lo:hi]),
+                           model_fn, num_steps)
     return x
 
 
@@ -224,26 +271,30 @@ def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
 
     x = jax.random.normal(key, shape, jnp.float32)
 
-    def step(carry, i):
-        x, x0_prev, lam_prev = carry
-        t = ts[i]
-        out = model_fn(x, _bcast_t(t, shape[0]))
-        x0, _ = schedule.to_x0_eps(out, x, t)
+    def step_for(fn):
+        def step(carry, i):
+            x, x0_prev, lam_prev = carry
+            t = ts[i]
+            out = fn(x, _bcast_t(t, shape[0]))
+            x0, _ = schedule.to_x0_eps(out, x, t)
 
-        h = lam_next[i] - lam[i]
-        h_last = lam[i] - lam_prev
-        r = h_last / jnp.where(jnp.abs(h) > 1e-8, h, 1.0)
-        denoised = jnp.where(
-            i == 0, x0,  # first step: order 1 (no history yet)
-            (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev)
-        x_next = (sigma_next[i] / sigma[i]) * x \
-            - alpha_next[i] * jnp.expm1(-h) * denoised
-        # lower_order_final: last step integrates to σ_t=0 at order 1 → x̂₀
-        x_next = jnp.where(i == num_steps - 1, x0, x_next)
-        return (x_next, x0, lam[i]), None
+            h = lam_next[i] - lam[i]
+            h_last = lam[i] - lam_prev
+            r = h_last / jnp.where(jnp.abs(h) > 1e-8, h, 1.0)
+            denoised = jnp.where(
+                i == 0, x0,  # first step: order 1 (no history yet)
+                (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev)
+            x_next = (sigma_next[i] / sigma[i]) * x \
+                - alpha_next[i] * jnp.expm1(-h) * denoised
+            # lower_order_final: last step integrates to σ_t=0 at order 1
+            # → x̂₀
+            x_next = jnp.where(i == num_steps - 1, x0, x_next)
+            return (x_next, x0, lam[i]), None
+        return step
 
-    (x, _, _), _ = jax.lax.scan(step, (x, jnp.zeros(shape, jnp.float32),
-                                       lam[0]), jnp.arange(num_steps))
+    x, _, _ = _segmented_scan(
+        step_for, (x, jnp.zeros(shape, jnp.float32), lam[0]),
+        lambda lo, hi: jnp.arange(lo, hi), model_fn, num_steps)
     return x
 
 
@@ -289,47 +340,51 @@ def unipc_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
     def safe_div(a, b):
         return a / jnp.where(jnp.abs(b) > 1e-10, b, 1.0)
 
-    def step(carry, i):
-        x, x_corr_prev, m_prev, m_prev2 = carry
-        t = ts[i]
-        out = model_fn(x, _bcast_t(t, shape[0]))
-        m = schedule.to_x0_eps(out, x, t)[0]  # x̂₀ at ts[i], uncorrected x
+    def step_for(fn):
+        def step(carry, i):
+            x, x_corr_prev, m_prev, m_prev2 = carry
+            t = ts[i]
+            out = fn(x, _bcast_t(t, shape[0]))
+            m = schedule.to_x0_eps(out, x, t)[0]  # x̂₀ at ts[i], uncorrected x
 
-        # ---- UniC: correct the i-1 → i transition ----------------------
-        h_c = lam[i] - lam[i - 1]
-        phi1c, bhc, phi2c, phi3c = phis(h_c)
-        d1_new = m - m_prev
-        # order 1 (used at i == 1): single new node, ρ = 1/2
-        x_c1 = (sigma[i] / sigma[i - 1]) * x_corr_prev \
-            - alpha[i] * (phi1c * m_prev + bhc * 0.5 * d1_new)
-        # order 2: history node r1 + new node 1
-        r1c = safe_div(lam[i - 2] - lam[i - 1], h_c)
-        d1_hist = safe_div(m_prev2 - m_prev, r1c)
-        b1 = phi2c / bhc
-        b2 = 2.0 * phi3c / bhc
-        rho1 = safe_div(b1 - b2, 1.0 - r1c)
-        rho2 = b1 - rho1
-        x_c2 = (sigma[i] / sigma[i - 1]) * x_corr_prev \
-            - alpha[i] * (phi1c * m_prev
-                          + bhc * (rho1 * d1_hist + rho2 * d1_new))
-        x_corr = jnp.where(i == 0, x, jnp.where(i == 1, x_c1, x_c2)) \
-            if use_corrector else x
+            # ---- UniC: correct the i-1 → i transition ----------------------
+            h_c = lam[i] - lam[i - 1]
+            phi1c, bhc, phi2c, phi3c = phis(h_c)
+            d1_new = m - m_prev
+            # order 1 (used at i == 1): single new node, ρ = 1/2
+            x_c1 = (sigma[i] / sigma[i - 1]) * x_corr_prev \
+                - alpha[i] * (phi1c * m_prev + bhc * 0.5 * d1_new)
+            # order 2: history node r1 + new node 1
+            r1c = safe_div(lam[i - 2] - lam[i - 1], h_c)
+            d1_hist = safe_div(m_prev2 - m_prev, r1c)
+            b1 = phi2c / bhc
+            b2 = 2.0 * phi3c / bhc
+            rho1 = safe_div(b1 - b2, 1.0 - r1c)
+            rho2 = b1 - rho1
+            x_c2 = (sigma[i] / sigma[i - 1]) * x_corr_prev \
+                - alpha[i] * (phi1c * m_prev
+                              + bhc * (rho1 * d1_hist + rho2 * d1_new))
+            x_corr = jnp.where(i == 0, x, jnp.where(i == 1, x_c1, x_c2)) \
+                if use_corrector else x
 
-        # ---- UniP: predict the i → i+1 sample --------------------------
-        h_p = lam_next[i] - lam[i]
-        phi1p, bhp, phi2p, _ = phis(h_p)
-        x_p1 = (sigma_next[i] / sigma[i]) * x_corr - alpha_next[i] * phi1p * m
-        r1p = safe_div(lam[i - 1] - lam[i], h_p)
-        d1p = safe_div(m_prev - m, r1p)
-        rho_p = phi2p / bhp
-        x_p2 = x_p1 - alpha_next[i] * bhp * rho_p * d1p
-        x_next = jnp.where(i == 0, x_p1, x_p2)
-        # lower_order_final: last step is order 1 with σ_t = 0 → x̂₀ exactly
-        x_next = jnp.where(i == num_steps - 1, m, x_next)
-        return (x_next, x_corr, m, m_prev), None
+            # ---- UniP: predict the i → i+1 sample --------------------------
+            h_p = lam_next[i] - lam[i]
+            phi1p, bhp, phi2p, _ = phis(h_p)
+            x_p1 = (sigma_next[i] / sigma[i]) * x_corr - alpha_next[i] * phi1p * m
+            r1p = safe_div(lam[i - 1] - lam[i], h_p)
+            d1p = safe_div(m_prev - m, r1p)
+            rho_p = phi2p / bhp
+            x_p2 = x_p1 - alpha_next[i] * bhp * rho_p * d1p
+            x_next = jnp.where(i == 0, x_p1, x_p2)
+            # lower_order_final: last step is order 1 with σ_t = 0 → x̂₀ exactly
+            x_next = jnp.where(i == num_steps - 1, m, x_next)
+            return (x_next, x_corr, m, m_prev), None
+        return step
 
     init = (x, x, jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
-    (x, _, _, _), _ = jax.lax.scan(step, init, jnp.arange(num_steps))
+    x, _, _, _ = _segmented_scan(step_for, init,
+                                 lambda lo, hi: jnp.arange(lo, hi),
+                                 model_fn, num_steps)
     return x
 
 
@@ -345,7 +400,9 @@ SAMPLERS = {
 }
 
 
-def sample(name: str, model_fn: ModelFn, schedule: DiffusionSchedule,
+def sample(name: str,
+           model_fn: ModelFn | list[tuple[int, ModelFn]],
+           schedule: DiffusionSchedule,
            shape: tuple[int, ...], key: jax.Array, num_steps: int,
            **kwargs) -> jax.Array:
     return SAMPLERS[name](model_fn, schedule, shape, key,

@@ -27,8 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from polyp_tpu.diffusion import (DiffusionSchedule, sample,
-                                 sampler_timesteps, with_cfg)
+from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
 from polyp_tpu.ops import quant
 from polyp_tpu.models.vae import SD_VAE_SCALING
 from polyp_tpu.utils.rng import batch_seed_key
@@ -57,9 +56,8 @@ def _padded_batch(batch_size: int, mesh) -> int:
     return -(-batch_size // d) * d
 
 
-def _precision_split(sampler: str, num_train_timesteps: int, num_steps: int,
-                     quantize: str | None, fp_head: int = 0,
-                     fp_tail: int = 0
+def _precision_split(num_steps: int, quantize: str | None,
+                     fp_head: int = 0, fp_tail: int = 0
                      ) -> tuple[str | None, tuple[int, int] | None]:
     """Resolve the hybrid-precision trajectory knobs.
 
@@ -73,26 +71,26 @@ def _precision_split(sampler: str, num_train_timesteps: int, num_steps: int,
     --fp-split; BASELINE.md). The tail knob is kept for the symmetric
     experiment and for detail-sensitive workloads.
 
-    Returns (effective_quantize_mode, bounds): quantize the model eval iff
-    lo < t < hi for the traced timestep t (timesteps descend over the
-    trajectory; lo/hi are exclusive sentinels). bounds None means no
-    splitting (pure mode)."""
+    Returns (effective_quantize_mode, split): split = (fp_head, fp_tail)
+    step counts for `_precision_segments`, or None for no splitting (pure
+    mode)."""
     if quantize is None or (fp_head <= 0 and fp_tail <= 0):
         return quantize, None
     if fp_head + fp_tail >= num_steps:
         return None, None  # every step full precision — drop the mode
-    ts = np.asarray(sampler_timesteps(sampler, num_train_timesteps,
-                                      num_steps))
-    hi = int(ts[fp_head - 1]) if fp_head > 0 else num_train_timesteps + 1
-    lo = int(ts[num_steps - fp_tail]) if fp_tail > 0 else -1
-    return quantize, (lo, hi)
+    return quantize, (max(fp_head, 0), max(fp_tail, 0))
 
 
-def _split_pred(t: jax.Array, bounds: tuple[int, int]) -> jax.Array:
-    """Trace-time predicate for _precision_split bounds: quantize this
-    model eval? `t` is the sampler's per-batch timestep array."""
-    lo, hi = bounds
-    return (t[0] > lo) & (t[0] < hi)
+def _precision_segments(q_fn, fp_fn, num_steps: int,
+                        split: tuple[int, int]):
+    """Build the sampler segment list for a precision split: fp head,
+    quantized middle, fp tail. Samplers run segments as consecutive scans
+    with continued step indices — bit-identical math to one scan, and each
+    segment's loop-invariant work (the in-graph int8 weight quantization)
+    hoists out of its own scan, which lax.cond inside one scan body
+    defeats (diffusion/samplers._as_segments)."""
+    head, tail = split
+    return [(head, fp_fn), (num_steps - head - tail, q_fn), (tail, fp_fn)]
 
 
 def to_uint8(images: jax.Array) -> np.ndarray:
@@ -111,8 +109,7 @@ class PixelDiffusionSampler:
                  mesh=None, quantize: str | None = None,
                  quant_fp_head: int = 0, quant_fp_tail: int = 0):
         self.model = model
-        self.quantize, self._split_bounds = _precision_split(
-            sampler, schedule.num_train_timesteps,
+        self.quantize, self._split = _precision_split(
             num_steps or schedule.num_train_timesteps, quantize,
             quant_fp_head, quant_fp_tail)
         quantize = self.quantize
@@ -168,17 +165,18 @@ class PixelDiffusionSampler:
                 with quant.override(mode, scales=self._quant_scales, t=t):
                     return self.model.apply({"params": params}, x, t)
 
-        def model_fn(x, t):
-            if self._split_bounds is None:
-                return apply_fn(x, t, self.quantize)
+        def q_fn(x, t):
+            return apply_fn(x, t, self.quantize)
+
+        if self._split is None:
+            model_fn = q_fn
+        else:
             # hybrid-precision trajectory (_precision_split): quantized
             # UNet for the mid-trajectory steps, full precision for the
-            # fp_head/fp_tail ends. Both branches live in the compiled
-            # scan body; each step executes only the taken one.
-            return jax.lax.cond(
-                _split_pred(t, self._split_bounds),
-                lambda x, t: apply_fn(x, t, self.quantize),
-                lambda x, t: apply_fn(x, t, None), x, t)
+            # fp_head/fp_tail ends, as sampler scan segments.
+            model_fn = _precision_segments(
+                q_fn, lambda x, t: apply_fn(x, t, None),
+                self.num_steps, self._split)
 
         with _mesh_trace_scope(self.mesh):
             return sample(self.sampler, model_fn, self.schedule, shape, key,
@@ -202,9 +200,8 @@ class StableDiffusionSampler:
                  mesh=None, quantize: str | None = None,
                  quant_fp_head: int = 0, quant_fp_tail: int = 0):
         self.unet = unet
-        self.quantize, self._split_bounds = _precision_split(
-            sampler, schedule.num_train_timesteps, num_steps, quantize,
-            quant_fp_head, quant_fp_tail)
+        self.quantize, self._split = _precision_split(
+            num_steps, quantize, quant_fp_head, quant_fp_tail)
         self._quant_scales: dict | None = None
         self.unet_params = unet_params
         self.vae = vae
@@ -244,17 +241,20 @@ class StableDiffusionSampler:
             with quant.override(mode, scales=self._quant_scales, t=t):
                 return self.unet.apply({"params": unet_params}, x, t, emb)
 
-        def raw_fn(x, t, emb):
-            if self._split_bounds is None:
-                return apply_fn(x, t, emb, self.quantize)
-            # hybrid-precision trajectory (see _precision_split): bf16 for
-            # the fp_head/fp_tail end steps, int8 for the middle.
-            return jax.lax.cond(
-                _split_pred(t, self._split_bounds),
-                lambda x, t, emb: apply_fn(x, t, emb, self.quantize),
-                lambda x, t, emb: apply_fn(x, t, emb, None), x, t, emb)
+        def q_raw(x, t, emb):
+            return apply_fn(x, t, emb, self.quantize)
 
-        model_fn = with_cfg(raw_fn, cond, uncond, self.guidance_scale)
+        q_model = with_cfg(q_raw, cond, uncond, self.guidance_scale)
+        if self._split is None:
+            model_fn = q_model
+        else:
+            # hybrid-precision trajectory (see _precision_split): bf16 for
+            # the fp_head/fp_tail end steps, int8 for the middle, as
+            # sampler scan segments.
+            fp_model = with_cfg(lambda x, t, emb: apply_fn(x, t, emb, None),
+                                cond, uncond, self.guidance_scale)
+            model_fn = _precision_segments(q_model, fp_model,
+                                           self.num_steps, self._split)
         shape = (batch_size, latent_size, latent_size, 4)
         with _mesh_trace_scope(self.mesh):
             latents = sample(self.sampler, model_fn, self.schedule, shape,

@@ -1,31 +1,35 @@
 """Hybrid-precision trajectory (`quant_fp_head` / `quant_fp_tail`): the
 first / final N inference steps run the full-precision UNet while the rest
-run quantized — pipeline._precision_split resolves the knobs to timestep
-bounds and the samplers branch per step with lax.cond.
+run quantized — pipeline._precision_split resolves the knobs and the
+samplers run the trajectory as consecutive scan SEGMENTS with continued
+step indices (diffusion/samplers._as_segments), one model function per
+segment. Segments (not a lax.cond in the scan body) because XLA does not
+hoist the loop-invariant int8 weight quantization out of a conditional
+branch — verified on HLO, 58/58 weight-quantize rounds stayed in-loop
+under cond vs 0 under segments.
 
-Measured finding (tools/quant_sensitivity.py --fp-split; BASELINE.md): on a
-deterministic sampler the EARLY evals set the whole trajectory, so a small
-bf16 HEAD makes the quantized run reproduce the full-precision images
-almost exactly — the effective direction for the fidelity gate. The tail
-knob is the symmetric control."""
+Measured finding (tools/quant_sensitivity.py --fp-split; BASELINE.md): on
+a deterministic sampler the EARLY evals set the whole trajectory, so a
+small bf16 HEAD makes the quantized run reproduce the full-precision
+images almost exactly — the effective direction for the fidelity gate.
+The tail knob is the symmetric control."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from polyp_tpu.diffusion import sampler_timesteps
+from polyp_tpu.diffusion import DiffusionSchedule, sample, sampler_timesteps
 from polyp_tpu.diffusion.schedule import inference_timesteps
 from polyp_tpu.ops import quant
-from polyp_tpu.pipeline import (PixelDiffusionSampler, _precision_split,
-                                _split_pred)
+from polyp_tpu.pipeline import (PixelDiffusionSampler, _precision_segments,
+                                _precision_split)
 
 
 class TestSamplerTimesteps:
     def test_matches_each_samplers_convention(self):
         """The registry must reproduce the exact per-sampler spacing the
-        sampler bodies use internally (drift here would silently put the
-        precision switch on the wrong step)."""
+        sampler bodies use internally."""
         T, S = 1000, 25
         want = {
             "ddpm": inference_timesteps(T, S, "leading", 0),
@@ -46,40 +50,59 @@ class TestSamplerTimesteps:
 
 class TestPrecisionSplit:
     def test_no_quantize_is_passthrough(self):
-        assert _precision_split("ddim", 1000, 25, None, 3, 10) == (None, None)
+        assert _precision_split(25, None, 3, 10) == (None, None)
 
     def test_zero_split_is_pure_mode(self):
-        assert _precision_split("ddim", 1000, 25, "w8a8", 0, 0) == \
-            ("w8a8", None)
+        assert _precision_split(25, "w8a8", 0, 0) == ("w8a8", None)
 
     def test_full_split_drops_the_mode(self):
-        assert _precision_split("ddim", 1000, 25, "w8a8", 0, 25) == \
-            (None, None)
-        assert _precision_split("ddim", 1000, 25, "w8a8", 13, 12) == \
-            (None, None)
-        assert _precision_split("ddim", 1000, 25, "w8a8", 99, 0) == \
-            (None, None)
+        assert _precision_split(25, "w8a8", 0, 25) == (None, None)
+        assert _precision_split(25, "w8a8", 13, 12) == (None, None)
+        assert _precision_split(25, "w8a8", 99, 0) == (None, None)
 
-    def _quantized_steps(self, name, S, fp_head, fp_tail, T=1000):
-        mode, bounds = _precision_split(name, T, S, "w8a8_static",
-                                        fp_head, fp_tail)
-        assert mode == "w8a8_static"
-        ts = np.asarray(sampler_timesteps(name, T, S))
-        picked = [bool(_split_pred(jnp.asarray([t]), bounds))
-                  for t in ts]
-        return picked
+    def test_segments_partition_exactly(self):
+        q, fp = object(), object()
+        for fp_head, fp_tail in ((1, 0), (0, 1), (3, 0), (0, 5), (2, 2)):
+            mode, split = _precision_split(25, "w8a8", fp_head, fp_tail)
+            assert mode == "w8a8" and split == (fp_head, fp_tail)
+            segs = _precision_segments(q, fp, 25, split)
+            assert segs == [(fp_head, fp), (25 - fp_head - fp_tail, q),
+                            (fp_tail, fp)]
+            assert sum(n for n, _ in segs) == 25
 
-    def test_head_and_tail_partition_exactly(self):
-        """The bounds predicate must select exactly the middle
-        (S - fp_head - fp_tail) trajectory steps, for every sampler —
-        contiguously (fp head first, fp tail last)."""
-        S = 25
+
+class TestSegmentedScanEquivalence:
+    def test_segments_bit_identical_to_single_scan(self):
+        """Running any sampler as [(k, fn), (S-k, fn)] segments with the
+        SAME fn must be bit-identical to the single scan — continued step
+        indices preserve the multistep solvers' history/order ramp
+        exactly. This is the property that makes the hybrid-precision
+        endpoints exact."""
+        sched = DiffusionSchedule.create(50)
+        key = jax.random.PRNGKey(0)
+        shape = (2, 8, 8, 3)
+
+        def fn(x, t):
+            # t-dependent, x-dependent toy denoiser
+            return x * (0.05 + 0.001 * t[0].astype(jnp.float32))
+
         for name in ("ddpm", "ddim", "dpmpp_2m", "unipc"):
-            for fp_head, fp_tail in ((1, 0), (0, 1), (3, 0), (0, 5),
-                                     (2, 2), (12, 12)):
-                picked = self._quantized_steps(name, S, fp_head, fp_tail)
-                want = [fp_head <= i < S - fp_tail for i in range(S)]
-                assert picked == want, (name, fp_head, fp_tail)
+            plain = sample(name, fn, sched, shape, key, 6)
+            for segs in ([(2, fn), (4, fn)], [(1, fn), (3, fn), (2, fn)]):
+                seg = sample(name, segs, sched, shape, key, 6)
+                np.testing.assert_array_equal(np.asarray(seg),
+                                              np.asarray(plain),
+                                              err_msg=f"{name} {segs}")
+
+    def test_bad_segment_total_raises(self):
+        sched = DiffusionSchedule.create(50)
+
+        def fn(x, t):
+            return x * 0.1
+
+        with pytest.raises(ValueError, match="segments cover"):
+            sample("ddim", [(2, fn), (2, fn)], sched, (1, 4, 4, 3),
+                   jax.random.PRNGKey(0), 6)
 
 
 def _tiny_pixel_model():
@@ -108,8 +131,6 @@ class TestPixelSamplerHybrid:
         exactly; 0/0 reproduces the pure quantized one; partial splits are
         finite and distinct from both (both regimes actually execute)."""
         monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
-        from polyp_tpu.diffusion import DiffusionSchedule
-
         model, params = _tiny_pixel_model()
         sched = DiffusionSchedule.create(10)
 
@@ -129,12 +150,10 @@ class TestPixelSamplerHybrid:
             assert not np.allclose(mid, q)
 
     def test_hybrid_composes_with_static_scales(self, monkeypatch, tmp_path):
-        """w8a8_static + fp_head: calibration still runs, the cond branches
-        gather per-timestep scales, and the output is finite."""
+        """w8a8_static + fp_head: calibration still runs, the quantized
+        segment gathers per-timestep scales, and the output is finite."""
         monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
         monkeypatch.setenv("POLYP_QUANT_CACHE", str(tmp_path))
-        from polyp_tpu.diffusion import DiffusionSchedule
-
         model, params = _tiny_pixel_model()
         sched = DiffusionSchedule.create(10)
 

@@ -61,9 +61,8 @@ def _sweep_context(batch: int, image_size: int, steps: int, quick: bool,
     uncond = jnp.zeros((1, 77, ctx_dim), dtype)
     schedule = DiffusionSchedule.create(1000, "scaled_linear", 0.00085, 0.012)
 
-    def make_generate(mode, scales=None, skip=(), only=None,
-                      split_bounds=None):
-        from polyp_tpu.pipeline import _split_pred
+    def make_generate(mode, scales=None, skip=(), only=None, split=None):
+        from polyp_tpu.pipeline import _precision_segments
 
         @jax.jit
         def generate(uparams, vparams, cond, uncond, key):
@@ -72,17 +71,15 @@ def _sweep_context(batch: int, image_size: int, steps: int, quick: bool,
                                     only=only, t=tt):
                     return unet.apply({"params": uparams}, z, tt, emb)
 
-            def raw_fn(z, tt, emb):
-                if split_bounds is None:
-                    return apply_fn(z, tt, emb, mode)
+            model_fn = with_cfg(lambda z, tt, emb: apply_fn(z, tt, emb, mode),
+                                cond, uncond, 7.5)
+            if split is not None:
                 # hybrid-precision trajectory (pipeline._precision_split)
-                return jax.lax.cond(
-                    _split_pred(tt, split_bounds),
-                    lambda z, tt, emb: apply_fn(z, tt, emb, mode),
+                fp_model = with_cfg(
                     lambda z, tt, emb: apply_fn(z, tt, emb, None),
-                    z, tt, emb)
-
-            model_fn = with_cfg(raw_fn, cond, uncond, 7.5)
+                    cond, uncond, 7.5)
+                model_fn = _precision_segments(model_fn, fp_model, steps,
+                                               split)
             latents = sample("ddim", model_fn, schedule,
                              (batch, latent, latent, 4), key, steps)
             return vae.apply(vparams, latents.astype(dtype) / 0.18215,
@@ -220,9 +217,8 @@ def run_split_sweep(batch: int = 4, image_size: int = 256, steps: int = 25,
                                        num_steps=8)
 
     def measure(fp_head, fp_tail):
-        eff_mode, bounds = _precision_split("ddim", 1000, steps, mode,
-                                            fp_head, fp_tail)
-        img = ctx["images"](eff_mode, scales=scales, split_bounds=bounds)
+        eff_mode, split = _precision_split(steps, mode, fp_head, fp_tail)
+        img = ctx["images"](eff_mode, scales=scales, split=split)
         return ctx["rel_l2"](img)
 
     r0 = measure(0, 0)
