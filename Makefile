@@ -1,6 +1,6 @@
 # Test tiers (VERDICT r1 item 5). Timings measured on this 1-core host with
-# a warm JAX compilation cache (/tmp/jax_cache_tests); 306 tests total
-# (232 fast / 74 slow, incl. the 2 mlflow skips) as of round 3. NOTE: without `pip install -e .[dev]`
+# a warm JAX compilation cache (/tmp/jax_cache_tests); 317 tests total
+# (239 fast / 78 slow, incl. the 2 mlflow skips) as of round 3. NOTE: without `pip install -e .[dev]`
 # (mlflow) each tier reports exactly 1 skip — tests/test_tracker_mlflow.py,
 # the mlflow backend's end-to-end file-store tests; install the dev extra to
 # run them (the JSONL tracker backend is tested unconditionally):

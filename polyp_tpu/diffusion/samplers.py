@@ -193,7 +193,8 @@ def ddim_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                 num_steps: int = 50, eta: float = 0.0,
                 clip_sample: bool = False,
                 steps_offset: int = 1,
-                final_alpha_to_one: bool = False) -> jax.Array:
+                final_alpha_to_one: bool = False,
+                spacing: str = "leading") -> jax.Array:
     T = schedule.num_train_timesteps
     # leading spacing with steps_offset=1 — the SD-v1 scheduler-config
     # convention (DDIMScheduler under StableDiffusionPipeline). Likewise
@@ -201,7 +202,10 @@ def ddim_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
     # set_alpha_to_one=False, so the last step (prev_t < 0) uses
     # ᾱ₀ = alphas_cumprod[0], not exactly 1.0 (diffusers' plain
     # DDIMScheduler() default is True — flip the flag for that convention).
-    ts = inference_timesteps(T, num_steps, "leading", steps_offset)
+    # Progressively-distilled students instead sample with
+    # spacing="trailing", steps_offset=0 — the grid they were distilled
+    # onto (train/distill.py nested-grid invariant).
+    ts = inference_timesteps(T, num_steps, spacing, steps_offset)
     abar = schedule.alphas_cumprod
     final_abar = jnp.asarray(1.0) if final_alpha_to_one else abar[0]
     key, init_key = jax.random.split(key)

@@ -107,8 +107,12 @@ class PixelDiffusionSampler:
                  num_steps: int | None = None,
                  text_embeddings: jax.Array | None = None,
                  mesh=None, quantize: str | None = None,
-                 quant_fp_head: int = 0, quant_fp_tail: int = 0):
+                 quant_fp_head: int = 0, quant_fp_tail: int = 0,
+                 sampler_kwargs: dict | None = None):
         self.model = model
+        # extra sampler arguments (e.g. spacing="trailing", steps_offset=0
+        # for progressively-distilled students — train/distill.py)
+        self.sampler_kwargs = dict(sampler_kwargs or {})
         self.quantize, self._split = _precision_split(
             num_steps or schedule.num_train_timesteps, quantize,
             quant_fp_head, quant_fp_tail)
@@ -180,7 +184,7 @@ class PixelDiffusionSampler:
 
         with _mesh_trace_scope(self.mesh):
             return sample(self.sampler, model_fn, self.schedule, shape, key,
-                          self.num_steps)
+                          self.num_steps, **self.sampler_kwargs)
 
     def __call__(self, batch_size: int, key: jax.Array) -> jax.Array:
         bs = _padded_batch(batch_size, self.mesh)

@@ -131,6 +131,45 @@ def test_train_scratch_cli(corpus, tmp_path, monkeypatch):
         assert (tmp_path / f"scratch/models/model_{cls}").exists()
 
 
+def test_distill_cli(corpus, tmp_path, monkeypatch):
+    """polyp-distill e2e: progressive distillation of (fabricated)
+    per-class scratch checkpoints, distilled checkpoint + meta + few-step
+    sample generation (train/distill.py; no reference analogue)."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import jax.numpy as jnp
+    from polyp_tpu.cli.distill import main
+    from polyp_tpu.models.unet2d import tiny_scratch_unet
+    from polyp_tpu.utils.checkpoint import save_pytree
+
+    # fabricate teacher checkpoints in the train_scratch output layout
+    model = tiny_scratch_unet()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                        jnp.zeros((1,), jnp.int32))["params"]
+    for cls in ("AD", "HP", "ASS"):
+        save_pytree(tmp_path / "scratch/models" / f"model_{cls}",
+                    {"params": params})
+
+    main(["--data-root", str(corpus), "--cache-dir", str(tmp_path / "cache"),
+          "--tracker-root", str(tmp_path / "runs"), "--tiny",
+          "--model-dir", str(tmp_path / "scratch"),
+          "--image_size", "32", "--train_batch_size", "4",
+          "--num_train_timesteps", "8", "--start_steps", "4",
+          "--end_steps", "2", "--steps_per_phase", "3",
+          "--reparam_steps", "2", "--generate", "2",
+          "--output-dir", str(tmp_path / "dist")])
+    for cls in ("AD", "HP", "ASS"):
+        assert (tmp_path / "dist/models" / f"distilled_{cls}").exists()
+        meta = json.loads((tmp_path / "dist/models"
+                           / f"distilled_{cls}_meta.json").read_text())
+        assert meta["num_steps"] == 2
+        assert meta["prediction_type"] == "v_prediction"
+        assert meta["sampler_kwargs"] == {"spacing": "trailing",
+                                          "steps_offset": 0}
+        n = len(list((tmp_path / "dist/samples" / cls).glob("*.png")))
+        assert n == 2, (cls, n)
+
+
 def test_eval_augmentation_cli(corpus, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rng = np.random.default_rng(1)
