@@ -202,8 +202,12 @@ class StableDiffusionSampler:
                  image_size: int = 256, num_steps: int = 25,
                  guidance_scale: float = 7.5, sampler: str = "unipc",
                  mesh=None, quantize: str | None = None,
-                 quant_fp_head: int = 0, quant_fp_tail: int = 0):
+                 quant_fp_head: int = 0, quant_fp_tail: int = 0,
+                 sampler_kwargs: dict | None = None):
         self.unet = unet
+        # extra sampler arguments (e.g. spacing="trailing", steps_offset=0
+        # for progressively-distilled students — train/distill.py)
+        self.sampler_kwargs = dict(sampler_kwargs or {})
         self.quantize, self._split = _precision_split(
             num_steps, quantize, quant_fp_head, quant_fp_tail)
         self._quant_scales: dict | None = None
@@ -262,7 +266,7 @@ class StableDiffusionSampler:
         shape = (batch_size, latent_size, latent_size, 4)
         with _mesh_trace_scope(self.mesh):
             latents = sample(self.sampler, model_fn, self.schedule, shape,
-                             key, self.num_steps)
+                             key, self.num_steps, **self.sampler_kwargs)
             return self.vae.apply(vae_params, latents / SD_VAE_SCALING,
                                   method=self.vae.decode)
 

@@ -306,21 +306,29 @@ def distill_progressive(
         # phase 0's teacher is the original (CFG-folding) model; later
         # phases distill the previous student, which is already folded
         phase_teacher = teacher_apply if phase_idx == 0 else student_apply
-        tx = optax.chain(
-            optax.clip_by_global_norm(1.0),
-            optax.adamw(optax.warmup_cosine_decay_schedule(
-                0.0, learning_rate, max(steps_per_phase // 20, 1),
-                max(steps_per_phase, 2), 0.0), weight_decay=weight_decay))
-        state = DistillState(step=jnp.zeros((), jnp.int32),
-                             params=result.params,
-                             opt_state=tx.init(result.params), tx=tx)
+
+        def _make_tx(horizon: int) -> optax.GradientTransformation:
+            return optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adamw(optax.warmup_cosine_decay_schedule(
+                    0.0, learning_rate, max(horizon // 20, 1),
+                    max(horizon, 2), 0.0), weight_decay=weight_decay))
+
         phase = DistillPhaseResult(num_steps=n)
 
         warmup = reparam_steps if (
             phase_idx == 0
             and student_prediction_type != schedule.prediction_type) else 0
         phase_tparams = teacher_params if phase_idx == 0 else result.params
+        warm_params = result.params
         if warmup:
+            # the warmup gets its OWN optimizer/schedule: sharing the phase
+            # optimizer would burn `warmup` steps of its cosine horizon and
+            # leave the tail of distillation training at lr ≈ 0
+            wtx = _make_tx(warmup)
+            wstate = DistillState(step=jnp.zeros((), jnp.int32),
+                                  params=warm_params,
+                                  opt_state=wtx.init(warm_params), tx=wtx)
             warm_step = make_distill_step(student_apply, phase_teacher,
                                           teacher_sched, student_sched,
                                           grid, reparam=True)
@@ -330,8 +338,14 @@ def distill_progressive(
                     if done >= warmup:
                         break
                     key = jax.random.fold_in(jax.random.PRNGKey(17), done)
-                    state, _ = warm_step(state, phase_tparams, x0, key)
+                    wstate, _ = warm_step(wstate, phase_tparams, x0, key)
                     done += 1
+            warm_params = wstate.params
+
+        tx = _make_tx(steps_per_phase)
+        state = DistillState(step=jnp.zeros((), jnp.int32),
+                             params=warm_params,
+                             opt_state=tx.init(warm_params), tx=tx)
 
         step = make_distill_step(student_apply, phase_teacher,
                                  teacher_sched, student_sched, grid)

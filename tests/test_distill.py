@@ -196,6 +196,91 @@ class TestProgressiveAnalytic:
         self._run(3.0)
 
 
+@pytest.mark.slow
+class TestSDPathIntegration:
+    def test_cfg_folded_tiny_unet_distills(self):
+        """Real-model plumbing: a tiny conditional flax UNet teacher under
+        CFG folding distills into a cond-only v-student (reparam warmup +
+        distill phase), and the result samples through the real
+        `ddim_sample(spacing="trailing")` path.
+
+        Scope note: convergence QUALITY is proven by
+        TestProgressiveAnalytic (an exact-capacity student reproduces the
+        teacher's trajectory to <2%, including through CFG folding). A
+        randomly-initialized tiny UNet has no learnable distillation
+        signal — measured: at guidance 1.0 its 1-step x̂₀ already matches
+        its 2-substep x̃₀ to 0.0035 (the random net is too smooth to bend
+        its own trajectory), and at guidance 4.0 the folded target exceeds
+        the architecture's capacity — so this test asserts the plumbing
+        invariants that hold regardless of learnability: phase structure,
+        finite decreasing losses, both warmup and distill phases actually
+        training, and non-divergent sampling."""
+        from polyp_tpu.diffusion import with_cfg
+        from polyp_tpu.models import tiny_condition_unet
+
+        T, latent = 64, 8
+        sched = DiffusionSchedule.create(T, "scaled_linear", 0.00085, 0.012)
+        unet = tiny_condition_unet()
+        k = jax.random.PRNGKey(0)
+        params = unet.init({"params": k},
+                           jnp.zeros((1, latent, latent, 4)),
+                           jnp.zeros((1,), jnp.int32),
+                           jnp.zeros((1, 77, 32)))["params"]
+        cond = jax.random.normal(k, (1, 77, 32))
+        uncond = jnp.zeros((1, 77, 32))
+
+        def apply_fn(p, x, t, ctx=None):
+            return unet.apply({"params": p}, x, t, ctx)
+
+        data = 0.3 * jax.random.normal(jax.random.PRNGKey(2),
+                                       (32, latent, latent, 4))
+
+        def batches():
+            return [data[i:i + 8] for i in range(0, 32, 8)]
+
+        result = distill_progressive(
+            apply_fn, params, sched, batches, start_steps=8, end_steps=4,
+            steps_per_phase=60, learning_rate=3e-3, weight_decay=0.0,
+            reparam_steps=30, guidance_scale=4.0, cond=cond, uncond=uncond)
+        assert result.num_steps == 4
+        assert result.prediction_type == "v_prediction"
+        assert len(result.phases) == 1
+        losses = result.phases[0].losses
+        assert len(losses) == 60  # reparam steps must NOT eat the phase
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])
+        # training actually moved the weights (reparam + distill ran)
+        delta = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                             params, result.params)
+        assert max(jax.tree.leaves(delta)) > 1e-3
+
+        def t_fn(x, t, emb):
+            return apply_fn(params, x, t, emb)
+
+        def _ctx(x):
+            return jnp.broadcast_to(cond, (x.shape[0],) + cond.shape[-2:])
+
+        v_sched = DiffusionSchedule.create(
+            T, "scaled_linear", 0.00085, 0.012,
+            prediction_type="v_prediction")
+
+        # --- sampling plumbing: trailing DDIM runs, no divergence ---------
+        skey = jax.random.PRNGKey(9)
+        teacher_cfg = with_cfg(t_fn, cond, uncond, 4.0)
+        ref = ddim_sample(teacher_cfg, sched, (4, latent, latent, 4), skey,
+                          8, spacing="trailing", steps_offset=0)
+
+        def student_fn(x, t):
+            return apply_fn(result.params, x, t, _ctx(x))
+
+        got = ddim_sample(student_fn, v_sched, (4, latent, latent, 4), skey,
+                          4, spacing="trailing", steps_offset=0)
+        assert np.isfinite(np.asarray(got)).all()
+        rms = float(jnp.sqrt(jnp.mean(got ** 2)))
+        ref_rms = float(jnp.sqrt(jnp.mean(ref ** 2)))
+        assert rms < 5.0 * ref_rms, (rms, ref_rms)
+
+
 class TestDistillStepMechanics:
     def test_loss_decreases_and_state_advances(self):
         """A few optimizer steps on the affine student must reduce the
