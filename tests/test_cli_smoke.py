@@ -131,10 +131,13 @@ def test_train_scratch_cli(corpus, tmp_path, monkeypatch):
         assert (tmp_path / f"scratch/models/model_{cls}").exists()
 
 
-def test_distill_cli(corpus, tmp_path, monkeypatch):
+@pytest.mark.parametrize("student_head", ["v_prediction", "epsilon"])
+def test_distill_cli(corpus, tmp_path, monkeypatch, student_head):
     """polyp-distill e2e: progressive distillation of (fabricated)
     per-class scratch checkpoints, distilled checkpoint + meta + few-step
-    sample generation (train/distill.py; no reference analogue)."""
+    sample generation (train/distill.py; no reference analogue). Both
+    student heads: v_prediction (reparam warmup) and epsilon (exact warm
+    start, no warmup — cli/distill.py docstring)."""
     monkeypatch.chdir(tmp_path)
     import jax
     import jax.numpy as jnp
@@ -157,13 +160,14 @@ def test_distill_cli(corpus, tmp_path, monkeypatch):
           "--num_train_timesteps", "8", "--start_steps", "4",
           "--end_steps", "2", "--steps_per_phase", "3",
           "--reparam_steps", "2", "--generate", "2",
+          "--student_prediction_type", student_head,
           "--output-dir", str(tmp_path / "dist")])
     for cls in ("AD", "HP", "ASS"):
         assert (tmp_path / "dist/models" / f"distilled_{cls}").exists()
         meta = json.loads((tmp_path / "dist/models"
                            / f"distilled_{cls}_meta.json").read_text())
         assert meta["num_steps"] == 2
-        assert meta["prediction_type"] == "v_prediction"
+        assert meta["prediction_type"] == student_head
         assert meta["sampler_kwargs"] == {"spacing": "trailing",
                                           "steps_offset": 0}
         n = len(list((tmp_path / "dist/samples" / cls).glob("*.png")))
