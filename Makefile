@@ -1,5 +1,5 @@
 # Test tiers (VERDICT r1 item 5). Timings measured on this 1-core host with
-# a warm JAX compilation cache (/tmp/jax_cache_tests); 317 tests total
+# a warm JAX compilation cache (/tmp/jax_cache_tests); 318 tests total
 # (239 fast / 78 slow, incl. the 2 mlflow skips) as of round 3. NOTE: without `pip install -e .[dev]`
 # (mlflow) each tier reports exactly 1 skip — tests/test_tracker_mlflow.py,
 # the mlflow backend's end-to-end file-store tests; install the dev extra to
