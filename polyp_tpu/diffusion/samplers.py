@@ -8,12 +8,19 @@ one XLA computation, so the UNet is traced once and every step reuses the
 same fused program. This loop is THE throughput metric (BASELINE.json).
 
 All samplers share the signature
-    sample_fn(model_fn, schedule, shape, key, num_steps, ...) -> x0-like
-where `model_fn(x, t_batch) -> model_out` is an already-conditioned denoiser
-(use `with_cfg` to wrap a conditional model) — or a SEGMENT list
-[(num_steps_i, model_fn_i), ...] run as consecutive scans with continued
-step indices (bit-identical to one scan; see _as_segments), the mechanism
-behind the hybrid-precision trajectory (pipeline._precision_split).
+    sample_fn(model_fn, schedule, shape, key, num_steps, ..., init=None) -> x0-like
+where `model_fn(x, t_batch) -> model_out` is an already-conditioned denoiser.
+`init` optionally supplies the starting latents x_T (shape `shape`) instead
+of drawing them from `key` — the hook for PER-SAMPLE initial noise, which
+makes a sample's output independent of what it is batched with under the
+deterministic samplers (ddim η=0, dpmpp_2m, unipc): the serving layer's
+request-coalescing contract (serve.py). The key chain is split identically
+whether or not `init` is given, so the stochastic samplers' per-step noise
+is unaffected by the flag. `model_fn` can also be a SEGMENT list
+[(num_steps_i, model_fn_i), ...] (use `with_cfg` to wrap a conditional
+model) run as consecutive scans with continued step indices (bit-identical
+to one scan; see _as_segments), the mechanism behind the hybrid-precision
+trajectory (pipeline._precision_split).
 
 Samplers:
 * `ddpm_sample`  — ancestral, fixed-small variance, optional x0 clipping
@@ -141,13 +148,15 @@ def _segmented_scan(step_factory, carry, xs_of, model_fn, num_steps: int):
 def ddpm_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                 shape: tuple[int, ...], key: jax.Array,
                 num_steps: int | None = None,
-                clip_sample: bool = True) -> jax.Array:
+                clip_sample: bool = True,
+                init: jax.Array | None = None) -> jax.Array:
     T = schedule.num_train_timesteps
     num_steps = T if num_steps is None else num_steps
     ts = sampler_timesteps("ddpm", T, num_steps)  # DDPMScheduler default
     abar = schedule.alphas_cumprod
     key, init_key = jax.random.split(key)
-    x = jax.random.normal(init_key, shape, jnp.float32)
+    x = (jnp.asarray(init, jnp.float32) if init is not None
+         else jax.random.normal(init_key, shape, jnp.float32))
 
     def step_for(fn):
         def step(carry, args):
@@ -194,7 +203,8 @@ def ddim_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                 clip_sample: bool = False,
                 steps_offset: int = 1,
                 final_alpha_to_one: bool = False,
-                spacing: str = "leading") -> jax.Array:
+                spacing: str = "leading",
+                init: jax.Array | None = None) -> jax.Array:
     T = schedule.num_train_timesteps
     # leading spacing with steps_offset=1 — the SD-v1 scheduler-config
     # convention (DDIMScheduler under StableDiffusionPipeline). Likewise
@@ -209,7 +219,8 @@ def ddim_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
     abar = schedule.alphas_cumprod
     final_abar = jnp.asarray(1.0) if final_alpha_to_one else abar[0]
     key, init_key = jax.random.split(key)
-    x = jax.random.normal(init_key, shape, jnp.float32)
+    x = (jnp.asarray(init, jnp.float32) if init is not None
+         else jax.random.normal(init_key, shape, jnp.float32))
 
     def step_for(fn):
         def step(carry, args):
@@ -258,7 +269,8 @@ def _lambda_tables(schedule: DiffusionSchedule, ts: jax.Array):
 @_inference_scope
 def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                     shape: tuple[int, ...], key: jax.Array,
-                    num_steps: int = 25) -> jax.Array:
+                    num_steps: int = 25,
+                    init: jax.Array | None = None) -> jax.Array:
     """DPM-Solver++(2M) (Lu et al. 2022, Algorithm 2; data prediction,
     midpoint solver) with DPMSolverMultistepScheduler's conventions:
     order ramps 1→2, `lower_order_final` drops the last step to order 1
@@ -273,7 +285,8 @@ def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
     sigma_next = jnp.concatenate([sigma[1:], jnp.ones((1,))])  # dummy tail
     lam_next = jnp.log(alpha_next) - jnp.log(sigma_next)
 
-    x = jax.random.normal(key, shape, jnp.float32)
+    x = (jnp.asarray(init, jnp.float32) if init is not None
+         else jax.random.normal(key, shape, jnp.float32))
 
     def step_for(fn):
         def step(carry, i):
@@ -305,7 +318,8 @@ def dpmpp_2m_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
 @_inference_scope
 def unipc_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
                  shape: tuple[int, ...], key: jax.Array,
-                 num_steps: int = 25, use_corrector: bool = True) -> jax.Array:
+                 num_steps: int = 25, use_corrector: bool = True,
+                 init: jax.Array | None = None) -> jax.Array:
     """UniPC (Zhao et al. 2023) order 2, B(h)=expm1(h) ("bh2"), data
     prediction — matching UniPCMultistepScheduler's exact step structure,
     the reference's scheduler (train_with_lora_per_class.py:308):
@@ -331,7 +345,8 @@ def unipc_sample(model_fn: ModelFn, schedule: DiffusionSchedule,
     sigma_next = jnp.concatenate([sigma[1:], jnp.ones((1,))])  # dummy tail
     lam_next = jnp.log(alpha_next) - jnp.log(sigma_next)
 
-    x = jax.random.normal(key, shape, jnp.float32)
+    x = (jnp.asarray(init, jnp.float32) if init is not None
+         else jax.random.normal(key, shape, jnp.float32))
 
     def phis(h):
         hh = -h

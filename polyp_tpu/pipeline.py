@@ -231,6 +231,7 @@ class StableDiffusionSampler:
         self.guidance_scale = guidance_scale
         self.sampler = sampler
         self._encode_cache: dict[str, jax.Array] = {}
+        self._batched_generate = None  # lazy jit for generate_batch
 
     def encode_prompt(self, prompt: str) -> jax.Array:
         if prompt not in self._encode_cache:
@@ -240,7 +241,7 @@ class StableDiffusionSampler:
         return self._encode_cache[prompt]
 
     def _generate_impl(self, unet_params, vae_params, cond, uncond, key,
-                       batch_size: int):
+                       batch_size: int, init=None):
         latent_size = self.image_size // 8
 
         def apply_fn(x, t, emb, mode):
@@ -266,40 +267,47 @@ class StableDiffusionSampler:
         shape = (batch_size, latent_size, latent_size, 4)
         with _mesh_trace_scope(self.mesh):
             latents = sample(self.sampler, model_fn, self.schedule, shape,
-                             key, self.num_steps, **self.sampler_kwargs)
+                             key, self.num_steps, init=init,
+                             **self.sampler_kwargs)
             return self.vae.apply(vae_params, latents / SD_VAE_SCALING,
                                   method=self.vae.decode)
+
+    def _ensure_calibrated(self, cond: jax.Array, uncond: jax.Array) -> None:
+        """One-time activation-scale calibration on this stack's own
+        denoising trajectory (diffusion/calibrate.py); reused for every
+        subsequent prompt — scales are activation-magnitude bounds, not
+        prompt-specific content — and disk-cached per checkpoint
+        fingerprint (the calibration compile costs minutes).
+        self.unet_params are already mesh-sharded here; ensure_scales
+        gates Pallas dispatch off for the multi-device trace."""
+        if self.quantize != "w8a8_static" or self._quant_scales is not None:
+            return
+        from polyp_tpu.diffusion.calibrate import ensure_scales
+        latent = self.image_size // 8
+        self._quant_scales = ensure_scales(
+            self.unet, self.unet_params, self.schedule,
+            (2, latent, latent, 4), cond[:1], uncond[:1],
+            num_steps=min(8, self.num_steps),
+            guidance_scale=self.guidance_scale,
+            fingerprint_extras=(self.image_size,
+                                self.schedule.num_train_timesteps,
+                                self.guidance_scale),
+            mesh=self.mesh)
+
+    def _out_shardings(self):
+        if self.mesh is None:
+            return None
+        from polyp_tpu.parallel import data_sharding
+        return data_sharding(self.mesh, 4)
 
     def for_prompt(self, prompt: str) -> BatchSampler:
         cond = self.encode_prompt(prompt)
         uncond = self.encode_prompt("")
-        if self.quantize == "w8a8_static" and self._quant_scales is None:
-            # one-time activation-scale calibration on this stack's own
-            # denoising trajectory (diffusion/calibrate.py); reused for
-            # every subsequent prompt — scales are activation-magnitude
-            # bounds, not prompt-specific content — and disk-cached per
-            # checkpoint fingerprint (the calibration compile costs minutes).
-            # self.unet_params are already mesh-sharded here; ensure_scales
-            # gates Pallas dispatch off for the multi-device trace.
-            from polyp_tpu.diffusion.calibrate import ensure_scales
-            latent = self.image_size // 8
-            self._quant_scales = ensure_scales(
-                self.unet, self.unet_params, self.schedule,
-                (2, latent, latent, 4), cond, uncond,
-                num_steps=min(8, self.num_steps),
-                guidance_scale=self.guidance_scale,
-                fingerprint_extras=(self.image_size,
-                                    self.schedule.num_train_timesteps,
-                                    self.guidance_scale),
-                mesh=self.mesh)
-        out_shardings = None
-        if self.mesh is not None:
-            from polyp_tpu.parallel import data_sharding
-            out_shardings = data_sharding(self.mesh, 4)
+        self._ensure_calibrated(cond, uncond)
         # params as jit args (see PixelDiffusionSampler note)
         generate = jax.jit(self._generate_impl,
                            static_argnames=("batch_size",),
-                           out_shardings=out_shardings)
+                           out_shardings=self._out_shardings())
 
         def sampler_fn(batch_size: int, key: jax.Array) -> jax.Array:
             bs = _padded_batch(batch_size, self.mesh)
@@ -308,6 +316,64 @@ class StableDiffusionSampler:
             return out[:batch_size]
 
         return sampler_fn
+
+    def _generate_batched_impl(self, unet_params, vae_params, cond, uncond,
+                               keys, batch_size: int):
+        """Coalesced-batch inner fn: per-sample initial latents drawn from
+        per-sample keys, so sample j's trajectory is a function of
+        (prompt_j, key_j) alone under the deterministic samplers — the
+        serving layer's coalescing contract (serve.py)."""
+        latent_size = self.image_size // 8
+        init = jax.vmap(
+            lambda k: jax.random.normal(
+                k, (latent_size, latent_size, 4), jnp.float32))(keys)
+        # keys[0] seeds the (unused-by-deterministic-samplers) scan key
+        # chain; the stochastic ddpm sampler would draw SHARED per-step
+        # noise from it, so coalesced per-request determinism holds only
+        # for ddim(η=0)/dpmpp_2m/unipc — serve.py documents this.
+        return self._generate_impl(unet_params, vae_params, cond, uncond,
+                                   keys[0], batch_size, init=init)
+
+    def generate_batch(self, prompts, keys,
+                       pad_to: int | None = None) -> jax.Array:
+        """ONE device launch for len(prompts) samples, each with its own
+        prompt and its own PRNG key (per-sample initial latents via the
+        samplers' `init` hook). The cross-request micro-batching primitive
+        behind serve.py's request coalescing: a sample's output is
+        independent of what it is batched with, and padding to a fixed
+        `pad_to` (e.g. the server's max_batch) makes every launch reuse one
+        compiled executable regardless of how many requests coalesced.
+
+        `keys`: stacked PRNG keys, one per prompt (shape [B, ...]).
+        Returns float images in [-1, 1], NHWC, length len(prompts)."""
+        n = len(prompts)
+        if n == 0:
+            raise ValueError("generate_batch needs at least one prompt")
+        keys = jnp.stack([jnp.asarray(k) for k in keys]) \
+            if isinstance(keys, (list, tuple)) else jnp.asarray(keys)
+        if keys.shape[0] != n:
+            raise ValueError(f"{n} prompts but {keys.shape[0]} keys")
+        cond = jnp.concatenate([self.encode_prompt(p) for p in prompts],
+                               axis=0)
+        uncond = self.encode_prompt("")
+        self._ensure_calibrated(cond, uncond)
+        pad = _padded_batch(max(pad_to or n, n), self.mesh)
+        if pad > n:
+            # pad rows repeat the last sample (cond AND key) — sliced away
+            # below; identical rows keep the executable's shapes fixed.
+            reps = pad - n
+            cond = jnp.concatenate(
+                [cond, jnp.broadcast_to(cond[-1:], (reps,) + cond.shape[1:])])
+            keys = jnp.concatenate(
+                [keys, jnp.broadcast_to(keys[-1:], (reps,) + keys.shape[1:])])
+        if self._batched_generate is None:
+            self._batched_generate = jax.jit(
+                self._generate_batched_impl,
+                static_argnames=("batch_size",),
+                out_shardings=self._out_shardings())
+        out = self._batched_generate(self.unet_params, self.vae_params,
+                                     cond, uncond, keys, batch_size=pad)
+        return out[:n]
 
 
 def generate_to_dir(sampler_fn: BatchSampler, num_images: int,

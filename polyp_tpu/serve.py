@@ -1,18 +1,37 @@
-"""Generation server: HTTP front-end over a diffusion sampler.
+"""Generation server: HTTP front-end over a diffusion sampler with
+cross-request micro-batching.
 
 The production/serving layer the reference lacks entirely (its only
 interface is SLURM batch scripts, SURVEY §1 CLI/cluster layer). A tiny
 stdlib HTTP server exposes the jitted sampling pipeline:
 
   POST /generate   {"prompt": str, "num_images": int≤max_batch, "seed": int}
-                   → {"images": [base64 PNG, ...], "latency_s": float}
-  GET  /healthz    → {"status": "ok", "model": ..., "warm": bool}
+                   → {"images": [base64 PNG, ...], "latency_s": float,
+                      "batched_samples": int}
+  GET  /healthz    → {"status": "ok", "model": ..., "warm": bool,
+                      "stats": {requests, launches, coalesced_samples}}
 
-Design: the sampler is compiled once per (batch_size) at warmup; requests
-are served single-flight (the chip is exclusive) from a lock; base64 PNGs
-keep the dependency surface at stdlib. For real deployments put any HTTP
-fan-in in front — the serving-critical part is the resident compiled
-pipeline, not the socket handling.
+Design — continuous micro-batching on an exclusive accelerator:
+
+* Requests land on a queue; a single dispatcher thread owns the chip (it is
+  exclusive — SURVEY §2). The dispatcher takes the oldest request, waits up
+  to `batch_window_s` for more, and coalesces them into ONE device launch of
+  up to `max_batch` samples, each sample carrying its own prompt embedding
+  and its own PRNG key (StableDiffusionSampler.generate_batch). Under load
+  the window never idles: the queue drains while the previous launch runs.
+* Launches are padded to `max_batch` (pipeline.generate_batch pad_to), so
+  every launch reuses ONE compiled executable regardless of how many
+  requests coalesced — no shape-driven recompiles on the serving path.
+* Determinism contract: sample j of a request is a pure function of
+  (prompt, seed, j) — per-sample initial latents via the samplers' `init`
+  hook — so a response is byte-identical whether the request ran alone or
+  coalesced with others. Holds for the deterministic samplers (ddim η=0,
+  dpmpp_2m, unipc — the SD serving default); the ancestral ddpm sampler
+  draws shared per-step noise and does not make this guarantee.
+* base64 PNGs keep the dependency surface at stdlib. For real deployments
+  put any HTTP fan-in in front — the serving-critical parts are the
+  resident compiled pipeline and the coalescing dispatcher, not the socket
+  handling.
 """
 
 from __future__ import annotations
@@ -20,51 +39,155 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue
 import threading
 import time
+from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable
+from typing import Callable, Sequence
 
+import jax
+import numpy as np
 from PIL import Image
 
 from polyp_tpu.pipeline import to_uint8
-from polyp_tpu.utils.rng import batch_seed_key
+from polyp_tpu.utils.rng import key_for
+
+# fn(prompts, keys) -> float images in [-1, 1], NHWC, len(prompts) rows.
+# StableDiffusionSampler.generate_batch (partially applied with
+# pad_to=max_batch) is the product implementation.
+MultiPromptSampler = Callable[[Sequence[str], jax.Array], jax.Array]
+
+
+def request_sample_key(seed: int, index: int) -> jax.Array:
+    """Per-sample serving key: sample `index` of a request is keyed by
+    fold_in(PRNGKey(seed), index) — a pure function of (seed, index), so the
+    response is independent of coalescing, of num_images splits, and of the
+    quota-generation contract (utils/rng.batch_seed_key), which stays
+    reserved for the reference-parity top-up path."""
+    return key_for(seed, index)
+
+
+@dataclass
+class _Request:
+    prompt: str
+    num_images: int
+    seed: int
+    done: threading.Event = field(default_factory=threading.Event)
+    images: np.ndarray | None = None          # uint8 [n,H,W,C]
+    batched_samples: int = 0                  # launch size it rode in
+    error: BaseException | None = None
 
 
 class GenerationService:
-    """Wraps a prompt→BatchSampler factory with warmup and single-flight
-    execution."""
+    """Request-coalescing front end over a MultiPromptSampler.
 
-    def __init__(self, sampler_for_prompt: Callable, max_batch: int = 8,
-                 model_name: str = "polyp-sd", warm_prompt: str | None = None):
-        self._factory = sampler_for_prompt
+    One dispatcher thread owns the device; `generate` is safe to call from
+    any number of threads (the HTTP server is threading)."""
+
+    def __init__(self, batch_sampler: MultiPromptSampler, max_batch: int = 8,
+                 model_name: str = "polyp-sd", warm_prompt: str | None = None,
+                 batch_window_s: float = 0.05):
+        self._sampler = batch_sampler
         self.max_batch = max_batch
         self.model_name = model_name
-        self._lock = threading.Lock()
+        self.batch_window_s = batch_window_s
+        self._queue: queue.Queue[_Request | None] = queue.Queue()
         self._warm = False
+        self._closed = False
+        self.stats = {"requests": 0, "launches": 0, "coalesced_samples": 0}
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._dispatcher.start()
         if warm_prompt is not None:
             self.generate(warm_prompt, 1, seed=0)
+
+    # -- client side ------------------------------------------------------
 
     def generate(self, prompt: str, num_images: int, seed: int = 0) -> dict:
         if not 1 <= num_images <= self.max_batch:
             raise ValueError(f"num_images must be in [1, {self.max_batch}]")
-        with self._lock:
-            t0 = time.perf_counter()
-            sampler = self._factory(prompt)
-            images = to_uint8(sampler(num_images, batch_seed_key(seed, 0)))
-            latency = time.perf_counter() - t0
-            self._warm = True
+        if self._closed:
+            raise RuntimeError("service is closed")
+        t0 = time.perf_counter()
+        req = _Request(prompt, int(num_images), int(seed))
+        self._queue.put(req)
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        latency = time.perf_counter() - t0
         payload = []
-        for img in images:
+        for img in req.images:
             buf = io.BytesIO()
             Image.fromarray(img).save(buf, format="PNG")
             payload.append(base64.b64encode(buf.getvalue()).decode())
         return {"images": payload, "latency_s": round(latency, 3),
-                "prompt": prompt, "seed": seed}
+                "prompt": prompt, "seed": seed,
+                "batched_samples": req.batched_samples}
 
     @property
     def warm(self) -> bool:
         return self._warm
+
+    def close(self) -> None:
+        self._closed = True
+        self._queue.put(None)
+        self._dispatcher.join(timeout=5)
+
+    # -- dispatcher side ---------------------------------------------------
+
+    def _dispatch_loop(self) -> None:
+        carry: _Request | None = None
+        while True:
+            req = carry if carry is not None else self._queue.get()
+            carry = None
+            if req is None:
+                return
+            batch = [req]
+            total = req.num_images
+            deadline = time.monotonic() + self.batch_window_s
+            while total < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:          # close() while coalescing
+                    self._run_batch(batch, total)
+                    return
+                if total + nxt.num_images > self.max_batch:
+                    carry = nxt          # doesn't fit — heads the next launch
+                    break
+                batch.append(nxt)
+                total += nxt.num_images
+            self._run_batch(batch, total)
+
+    def _run_batch(self, batch: list[_Request], total: int) -> None:
+        prompts: list[str] = []
+        keys: list[jax.Array] = []
+        for r in batch:
+            for j in range(r.num_images):
+                prompts.append(r.prompt)
+                keys.append(request_sample_key(r.seed, j))
+        try:
+            images = to_uint8(self._sampler(prompts, jax.numpy.stack(keys)))
+            self._warm = True
+            self.stats["requests"] += len(batch)
+            self.stats["launches"] += 1
+            self.stats["coalesced_samples"] += total if len(batch) > 1 else 0
+            off = 0
+            for r in batch:
+                r.images = images[off:off + r.num_images]
+                r.batched_samples = total
+                off += r.num_images
+        except BaseException as e:  # propagate to every waiting request
+            for r in batch:
+                r.error = e
+        finally:
+            for r in batch:
+                r.done.set()
 
 
 def make_handler(service: GenerationService):
@@ -80,7 +203,8 @@ def make_handler(service: GenerationService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok", "model": service.model_name,
-                                 "warm": service.warm})
+                                 "warm": service.warm,
+                                 "stats": dict(service.stats)})
             else:
                 self._send(404, {"error": "not found"})
 
@@ -129,6 +253,9 @@ def main(argv=None):
     parser.add_argument("--image_size", type=int, default=256)
     parser.add_argument("--steps", type=int, default=25)
     parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--batch_window_ms", type=float, default=50.0,
+                        help="how long the dispatcher waits to coalesce "
+                             "concurrent requests into one device launch")
     parser.add_argument("--quantize", default=None,
                         choices=["w8a8", "w8a8_static"],
                         help="W8A8 UNet sampling (ops/quant.py); _static "
@@ -141,13 +268,20 @@ def main(argv=None):
                              quantize=args.quantize)
     sampler = make_sampler(stack, stack.unet_params,
                            stack.text_params["params"], config)
-    service = GenerationService(sampler.for_prompt, args.max_batch,
-                                warm_prompt="a colon polyp")
+
+    def batch_sampler(prompts, keys):
+        # pad_to=max_batch: every launch shares one compiled executable
+        return sampler.generate_batch(prompts, keys, pad_to=args.max_batch)
+
+    service = GenerationService(batch_sampler, args.max_batch,
+                                warm_prompt="a colon polyp",
+                                batch_window_s=args.batch_window_ms / 1e3)
     server = serve(service, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} (warm)")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:
+        service.close()
         server.shutdown()
 
 

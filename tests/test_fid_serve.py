@@ -125,22 +125,26 @@ class TestFidDirs:
         assert diff["frechet_distance"] > same["frechet_distance"] + 1.0
 
 
+def _fake_batch_sampler(prompts, keys):
+    """MultiPromptSampler stand-in: each sample is a pure function of its
+    own (prompt, key) — the same contract generate_batch provides."""
+    outs = [jax.random.uniform(k, (8, 8, 3), minval=-1, maxval=1)
+            + (0.1 if "polyp" in p else 0.0)
+            for p, k in zip(prompts, list(keys))]
+    return jnp.stack(outs)
+
+
 class TestServer:
     @pytest.fixture(scope="class")
     def server(self):
         from polyp_tpu.serve import GenerationService, serve
 
-        def factory(prompt):
-            def sampler(n, key):
-                base = jax.random.uniform(key, (n, 8, 8, 3), minval=-1,
-                                          maxval=1)
-                return base + (0.1 if "polyp" in prompt else 0.0)
-            return sampler
-
-        service = GenerationService(factory, max_batch=4, warm_prompt="warm")
+        service = GenerationService(_fake_batch_sampler, max_batch=4,
+                                    warm_prompt="warm")
         server = serve(service, port=0)
         yield f"http://127.0.0.1:{server.server_address[1]}"
         server.shutdown()
+        service.close()
 
     def _post(self, url, payload):
         req = urllib.request.Request(
@@ -186,3 +190,122 @@ class TestServer:
             assert False
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+class TestCoalescing:
+    """The micro-batching dispatcher: concurrent requests ride one device
+    launch, results are independent of what they were batched with, and a
+    request that doesn't fit heads the next launch instead of splitting."""
+
+    def _service(self, max_batch=4, window=0.5, sampler=None):
+        from polyp_tpu.serve import GenerationService
+
+        calls = []
+
+        def counting(prompts, keys):
+            calls.append(list(prompts))
+            return (sampler or _fake_batch_sampler)(prompts, keys)
+
+        svc = GenerationService(counting, max_batch=max_batch,
+                                batch_window_s=window)
+        return svc, calls
+
+    def _concurrent(self, svc, requests):
+        """Submit requests from parallel threads; returns results in order."""
+        import threading
+
+        results = [None] * len(requests)
+        errors = []
+
+        def run(i, kwargs):
+            try:
+                results[i] = svc.generate(**kwargs)
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+
+        threads = [threading.Thread(target=run, args=(i, kw))
+                   for i, kw in enumerate(requests)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors
+        return results
+
+    def test_concurrent_requests_share_one_launch(self):
+        svc, calls = self._service()
+        try:
+            a, b = self._concurrent(svc, [
+                dict(prompt="a polyp", num_images=1, seed=1),
+                dict(prompt="another", num_images=1, seed=2),
+            ])
+            assert a["batched_samples"] == 2 and b["batched_samples"] == 2
+            assert len(calls) == 1 and len(calls[0]) == 2
+            assert svc.stats["launches"] == 1
+            assert svc.stats["coalesced_samples"] == 2
+        finally:
+            svc.close()
+
+    def test_result_independent_of_coalescing(self):
+        svc, _ = self._service()
+        try:
+            solo = svc.generate("a polyp", 2, seed=7)
+            a, _b = self._concurrent(svc, [
+                dict(prompt="a polyp", num_images=2, seed=7),
+                dict(prompt="noise", num_images=2, seed=3),
+            ])
+            assert a["batched_samples"] == 4
+            assert solo["images"] == a["images"]
+        finally:
+            svc.close()
+
+    def test_oversize_spill_heads_next_launch(self):
+        svc, calls = self._service(max_batch=4)
+        try:
+            a, b = self._concurrent(svc, [
+                dict(prompt="big", num_images=3, seed=1),
+                dict(prompt="spill", num_images=2, seed=2),
+            ])
+            # 3+2 > 4: two launches, neither request split across launches
+            assert len(calls) == 2
+            assert sorted(len(c) for c in calls) == [2, 3]
+            assert len(a["images"]) == 3 and len(b["images"]) == 2
+        finally:
+            svc.close()
+
+    def test_window_zero_disables_coalescing(self):
+        svc, calls = self._service(window=0.0)
+        try:
+            self._concurrent(svc, [
+                dict(prompt="x", num_images=1, seed=1),
+                dict(prompt="y", num_images=1, seed=2),
+            ])
+            assert len(calls) == 2
+            assert svc.stats["coalesced_samples"] == 0
+        finally:
+            svc.close()
+
+    def test_sampler_error_propagates(self):
+        def boom(prompts, keys):
+            raise RuntimeError("kernel on fire")
+
+        svc, _ = self._service(sampler=boom)
+        try:
+            with pytest.raises(RuntimeError, match="kernel on fire"):
+                svc.generate("x", 1)
+        finally:
+            svc.close()
+
+    def test_per_sample_keys_decouple_num_images_split(self):
+        # one request of 2 images == two requests of 1 image each, because
+        # sample j of a request is keyed by (seed, j) — but DIFFERENT seeds
+        # differ (no accidental key reuse across requests)
+        svc, _ = self._service()
+        try:
+            both = svc.generate("p", 2, seed=11)
+            first = svc.generate("p", 1, seed=11)
+            assert both["images"][0] == first["images"][0]
+            other = svc.generate("p", 1, seed=12)
+            assert other["images"][0] != first["images"][0]
+        finally:
+            svc.close()

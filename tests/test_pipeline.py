@@ -1,6 +1,7 @@
 """Generation pipeline: quota loop, file naming, deterministic top-up."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,3 +60,66 @@ def test_top_up_resumes_deterministically(tmp_path):
 def test_top_up_noop_when_quota_met(tmp_path):
     generate_to_dir(_stub_sampler, 4, tmp_path / "d", eval_batch_size=2, seed=0)
     assert top_up_samples(_stub_sampler, 4, tmp_path / "d", 2, 0) == 0
+
+
+@pytest.mark.slow
+class TestGenerateBatch:
+    """StableDiffusionSampler.generate_batch: the serving layer's
+    micro-batching primitive (serve.py). A sample's output must be a pure
+    function of its own (prompt, key) — independent of co-batched samples
+    and of pad_to — and multi-prompt batches must match the per-prompt
+    for_prompt path sample-for-sample."""
+
+    @pytest.fixture(scope="class")
+    def sampler(self):
+        from polyp_tpu.cli.common import load_sd_stack
+        from polyp_tpu.cli.sd_common import make_sampler
+        from polyp_tpu.configs import DiffusionConfig
+
+        stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+        cfg = DiffusionConfig(image_size=16, num_inference_steps=2,
+                              sampler="unipc")
+        return make_sampler(stack, stack.unet_params,
+                            stack.text_params["params"], cfg)
+
+    def test_coalescing_invariance_at_fixed_pad(self, sampler):
+        # the serving contract: with a fixed pad_to (the server's
+        # max_batch), every launch runs ONE executable, and a sample row is
+        # a pure function of its own (prompt, key) — so solo vs coalesced
+        # is bit-identical.
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        solo = np.asarray(
+            sampler.generate_batch(["a colon polyp"], [k1], pad_to=4))
+        pair = np.asarray(sampler.generate_batch(
+            ["a colon polyp", "something else"], [k1, k2], pad_to=4))
+        assert pair.shape == (2, 16, 16, 3)
+        np.testing.assert_array_equal(pair[0], solo[0])
+        assert not np.allclose(pair[1], pair[0]), \
+            "distinct (prompt, key) samples must differ"
+
+    def test_pad_to_only_perturbs_rounding(self, sampler):
+        # different pad sizes compile different executables whose reduction
+        # orders differ — values must agree to fp rounding, not bitwise
+        k1 = jax.random.PRNGKey(7)
+        unpadded = np.asarray(sampler.generate_batch(["a colon polyp"], [k1]))
+        padded = np.asarray(sampler.generate_batch(["a colon polyp"], [k1],
+                                                   pad_to=4))
+        assert padded.shape == (1, 16, 16, 3)
+        np.testing.assert_allclose(padded[0], unpadded[0],
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_key_not_prompt_position_drives_noise(self, sampler):
+        # same key, same prompt, different batch slot → same image
+        k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+        a = np.asarray(sampler.generate_batch(
+            ["a colon polyp", "other"], [k1, k2], pad_to=4))
+        b = np.asarray(sampler.generate_batch(
+            ["other", "a colon polyp"], [k2, k1], pad_to=4))
+        np.testing.assert_array_equal(a[0], b[1])
+        np.testing.assert_array_equal(a[1], b[0])
+
+    def test_mismatched_keys_rejected(self, sampler):
+        with pytest.raises(ValueError, match="keys"):
+            sampler.generate_batch(["a", "b"], [jax.random.PRNGKey(0)])
+        with pytest.raises(ValueError, match="at least one"):
+            sampler.generate_batch([], [])
