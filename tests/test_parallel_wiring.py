@@ -195,6 +195,29 @@ class TestShardedSampling:
         c = sharded.for_prompt("polyp")(5, key)
         assert c.shape[0] == 5
 
+    def test_generate_batch_sharded_matches_unsharded(self):
+        """The serving micro-batch path (per-sample prompts + keys,
+        pipeline.generate_batch) composes with a data mesh: padded to the
+        mesh, spans all devices, matches the mesh-less output."""
+        from polyp_tpu.cli.common import load_sd_stack
+        from polyp_tpu.cli.sd_common import make_sampler
+        stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+        cfg = DiffusionConfig(image_size=32, num_inference_steps=2,
+                              sampler="unipc")
+        plain = make_sampler(stack, stack.unet_params,
+                             stack.text_params["params"], cfg)
+        sharded = make_sampler(stack, stack.unet_params,
+                               stack.text_params["params"], cfg,
+                               make_mesh({"data": 8}))
+        keys = list(jax.random.split(jax.random.PRNGKey(5), 3))
+        prompts = ["polyp", "polyp", "another"]
+        a = plain.generate_batch(prompts, keys, pad_to=8)
+        # 3 samples pad to 8 (pad_to and the mesh agree here)
+        b = sharded.generate_batch(prompts, keys, pad_to=8)
+        assert np.asarray(b).shape[0] == 3
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_pixel_sampler_spans_devices(self):
         from polyp_tpu.models.unet2d import UNet2D
         from polyp_tpu.pipeline import PixelDiffusionSampler
