@@ -2,6 +2,7 @@
 
 import json
 import urllib.request
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -309,3 +310,41 @@ class TestCoalescing:
             assert other["images"][0] != first["images"][0]
         finally:
             svc.close()
+
+
+class TestBenchServe:
+    """tools/bench_serve.py load harness: stats accounting over the
+    GenerationService (launch deltas exclude warm-up, occupancy is
+    requests per launch within the timed window)."""
+
+    def test_run_load_stats(self):
+        import sys
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from polyp_tpu.serve import GenerationService
+        from tools.bench_serve import run_load
+
+        svc = GenerationService(_fake_batch_sampler, max_batch=4,
+                                warm_prompt="warm", batch_window_s=0.02)
+        try:
+            svc.generate("pre-existing traffic", 1, seed=0)  # pre-load launch
+            stats = run_load(svc, clients=3, duration=1.0)
+        finally:
+            svc.close()
+        assert stats["requests"] > 0
+        assert stats["launches"] > 0
+        # launch delta must not count the warm-up / pre-load launches
+        assert stats["launches"] <= stats["requests"]
+        assert stats["throughput_samples_per_s"] > 0
+        assert 0 < stats["p50_s"] <= stats["p95_s"] <= stats["p99_s"]
+        occupancy = stats["requests"] / stats["launches"]
+        assert stats["mean_batch_occupancy"] == pytest.approx(occupancy,
+                                                              abs=0.01)
+
+    def test_percentile_edges(self):
+        from tools.bench_serve import percentile
+
+        assert percentile([1.0], 0.95) == 1.0
+        vals = [float(i) for i in range(100)]
+        assert percentile(vals, 0.0) == 0.0
+        assert percentile(vals, 1.0) == 99.0
+        assert abs(percentile(vals, 0.5) - 50.0) <= 1.0

@@ -1,0 +1,211 @@
+"""Serving benchmark: closed-loop concurrent clients against the
+micro-batching GenerationService (polyp_tpu/serve.py).
+
+The reference has no serving story at all (SURVEY §1: its only interface
+is SLURM batch scripts), so there is no baseline row to beat — this tool
+establishes OUR serving numbers: sustained samples/sec and per-request
+latency percentiles under concurrent load, and the coalescing win over a
+solo-dispatch server (max_batch=1, the no-micro-batching strawman every
+request-at-a-time server is).
+
+Method: `--clients N` threads each run a closed loop (issue a 1-image
+request, wait for the response, repeat) for `--duration` seconds against
+the in-process GenerationService — the dispatcher, the padding contract,
+and the compiled pipeline are exactly the production path; the HTTP socket
+layer is skipped by default because it is stdlib pass-through (opt in with
+--http to include it). Each request gets a distinct (seed, prompt-index)
+so responses exercise per-sample keys and several prompt embeddings.
+
+Outputs one JSON line per configuration:
+
+  {"mode": "coalesced"|"solo", "clients": N, "throughput_samples_per_s": ...,
+   "p50_s": ..., "p95_s": ..., "mean_batch_occupancy": ..., ...}
+
+Chip run (exclusive TPU, ~2 min each config):
+
+    python tools/bench_serve.py --image_size 256 --steps 25 --clients 8
+
+CPU smoke (tiny stack, seconds):
+
+    JAX_PLATFORMS=cpu python tools/bench_serve.py --tiny --image_size 64 \
+        --steps 2 --clients 4 --duration 6
+
+Reading the CPU smoke: coalescing LOSES on CPU (speedup ~0.3×) because CPU
+compute scales linearly with the padded batch — a pad_to=8 launch costs 8×
+a solo launch even when only 4 rows are real. That is an artifact of the
+smoke platform, not the design: on the v5e the sampler is launch-bound at
+these batch sizes (BASELINE.md batch sweeps: batch 8 ≈ batch 1 per-launch
+cost), so a coalesced launch amortizes a full device pass across up to
+max_batch requests. The chip run is the measurement of record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from polyp_tpu.cli.common import load_sd_stack            # noqa: E402
+from polyp_tpu.cli.sd_common import make_sampler          # noqa: E402
+from polyp_tpu.configs import DiffusionConfig             # noqa: E402
+from polyp_tpu.serve import GenerationService             # noqa: E402
+
+PROMPTS = [
+    "a realistic photo of colon polyp",
+    "a realistic photo of adenomatous colon polyp",
+    "a realistic photo of hyperplastic colon polyp",
+    "a realistic photo of sessile serrated colon polyp",
+]
+
+
+def percentile(sorted_vals: list[float], q: float) -> float:
+    if not sorted_vals:
+        return float("nan")
+    idx = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[idx]
+
+
+def run_load(service: GenerationService, clients: int, duration: float,
+             http_port: int | None = None) -> dict:
+    """Closed-loop load: each client thread issues 1-image requests
+    back-to-back for `duration` seconds. Returns latency/throughput stats."""
+    latencies: list[float] = []
+    samples = [0]
+    lock = threading.Lock()
+    launches_before = service.stats["launches"]
+    stop = time.monotonic() + duration
+    if http_port is not None:
+        import base64  # noqa: F401  (responses carry base64 PNGs)
+        import http.client
+
+        def issue(prompt: str, seed: int) -> None:
+            conn = http.client.HTTPConnection("127.0.0.1", http_port)
+            body = json.dumps({"prompt": prompt, "num_images": 1,
+                               "seed": seed})
+            conn.request("POST", "/generate", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            payload = json.loads(resp.read())
+            conn.close()
+            if resp.status != 200:
+                raise RuntimeError(payload.get("error", "request failed"))
+    else:
+        def issue(prompt: str, seed: int) -> None:
+            service.generate(prompt, 1, seed=seed)
+
+    def client(cid: int) -> None:
+        n = 0
+        while time.monotonic() < stop:
+            prompt = PROMPTS[(cid + n) % len(PROMPTS)]
+            t0 = time.perf_counter()
+            issue(prompt, seed=cid * 100003 + n)
+            dt = time.perf_counter() - t0
+            n += 1
+            with lock:
+                latencies.append(dt)
+                samples[0] += 1
+
+    t_start = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t_start
+    latencies.sort()
+    launches = max(1, service.stats["launches"] - launches_before)
+    return {
+        "clients": clients,
+        "duration_s": round(elapsed, 2),
+        "requests": samples[0],
+        "throughput_samples_per_s": round(samples[0] / elapsed, 3),
+        "p50_s": round(percentile(latencies, 0.50), 3),
+        "p95_s": round(percentile(latencies, 0.95), 3),
+        "p99_s": round(percentile(latencies, 0.99), 3),
+        "launches": launches,
+        "mean_batch_occupancy": round(samples[0] / launches, 2),
+    }
+
+
+def build_batch_sampler(args, max_batch: int):
+    stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
+    config = DiffusionConfig(image_size=args.image_size,
+                             num_inference_steps=args.steps,
+                             quantize=args.quantize)
+    sampler = make_sampler(stack, stack.unet_params,
+                           stack.text_params["params"], config)
+
+    def batch_sampler(prompts, keys):
+        return sampler.generate_batch(prompts, keys, pad_to=max_batch)
+
+    return batch_sampler
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pretrained-dir", default=None)
+    parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--image_size", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=25)
+    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--clients", type=int, default=8)
+    parser.add_argument("--duration", type=float, default=60.0)
+    parser.add_argument("--batch_window_ms", type=float, default=50.0)
+    parser.add_argument("--quantize", default=None,
+                        choices=["w8a8", "w8a8_static"])
+    parser.add_argument("--http", action="store_true",
+                        help="route requests through the HTTP layer too")
+    parser.add_argument("--skip_solo", action="store_true",
+                        help="skip the max_batch=1 no-coalescing baseline")
+    args = parser.parse_args(argv)
+
+    results = []
+    modes = [("coalesced", args.max_batch)]
+    if not args.skip_solo:
+        modes.append(("solo", 1))
+    for mode, max_batch in modes:
+        print(f"# {mode}: building stack (max_batch={max_batch})",
+              file=sys.stderr)
+        batch_sampler = build_batch_sampler(args, max_batch)
+        service = GenerationService(
+            batch_sampler, max_batch=max_batch,
+            warm_prompt=PROMPTS[0],
+            batch_window_s=args.batch_window_ms / 1e3)
+        server = None
+        port = None
+        if args.http:
+            from polyp_tpu.serve import serve
+            server = serve(service, port=0)
+            port = server.server_address[1]
+        # warm each distinct prompt embedding outside the timed window
+        for p in PROMPTS:
+            service.generate(p, 1, seed=0)
+        clients = args.clients if mode == "coalesced" else min(
+            args.clients, 2)  # solo drains serially; 2 keeps it saturated
+        stats = run_load(service, clients, args.duration, http_port=port)
+        stats["mode"] = mode
+        stats["max_batch"] = max_batch
+        stats["image_size"] = args.image_size
+        stats["steps"] = args.steps
+        stats["quantize"] = args.quantize
+        results.append(stats)
+        print(json.dumps(stats))
+        if server is not None:
+            server.shutdown()
+        service.close()
+    if len(results) == 2:
+        speedup = (results[0]["throughput_samples_per_s"] /
+                   max(results[1]["throughput_samples_per_s"], 1e-9))
+        print(json.dumps({"coalescing_speedup": round(speedup, 2)}))
+
+
+if __name__ == "__main__":
+    main()
