@@ -9,8 +9,9 @@ Linear(1280→hidden) → ReLU → Dropout → Linear(hidden→num_classes).
 Design notes (TPU-first, not a torch translation):
 * NHWC layout end-to-end — XLA's native conv layout on TPU; every conv
   lowers onto the MXU without transposes.
-* BatchNorm ε=1e-3, momentum .99 (EfficientNet's constants); batch stats
-  carried as a separate `batch_stats` collection.
+* BatchNorm constants follow torchvision per variant (`_bn_config`): torch
+  defaults for b0–b4, TF-ported 1e-3/.99 for b5–b7; batch stats carried as
+  a separate `batch_stats` collection.
 * Stochastic depth (row-wise DropPath) with linearly increasing drop rate,
   matching the published architecture.
 * Weight import from a torchvision `efficientnet_b0` state_dict is provided
@@ -48,6 +49,19 @@ VARIANTS: dict[str, tuple[float, float, float]] = {
     "tiny": (0.1, 0.1, 0.1),
 }
 
+# BatchNorm (eps, EMA decay) per variant, matching torchvision so imported
+# IMAGENET1K_V1 stats evaluate identically: b0–b4 carry torch-native weights
+# and use nn.BatchNorm2d defaults (eps 1e-5, momentum 0.1 → decay 0.9);
+# b5–b7 are TF-ported and built with eps=1e-3, momentum=0.01 → decay 0.99
+# (torchvision models/efficientnet.py norm_layer overrides). Scratch
+# variants follow b0. The eps choice is load-bearing for import parity —
+# round-3 torch goldens (tests/test_torch_efficientnet_golden.py) pin it.
+_TF_PORTED = frozenset({"b5", "b6", "b7"})
+
+
+def _bn_config(variant: str) -> tuple[float, float]:
+    return (1e-3, 0.99) if variant in _TF_PORTED else (1e-5, 0.9)
+
 
 def _round_channels(ch: float, width_mult: float, divisor: int = 8) -> int:
     ch *= width_mult
@@ -83,15 +97,24 @@ class ConvBNAct(nn.Module):
     stride: int = 1
     groups: int = 1
     act: bool = True
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        # Explicit symmetric (k-1)//2 padding, NOT "SAME": torch pads
+        # stride-2 convs symmetrically while SAME pads (0, 1) on even
+        # inputs — same output shape, one-pixel-shifted values. Caught by
+        # the round-3 torch goldens; symmetric is the torchvision
+        # convention every imported checkpoint was trained under.
+        pad = (self.kernel - 1) // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=self.stride, padding="SAME",
+                    strides=self.stride, padding=((pad, pad), (pad, pad)),
                     feature_group_count=self.groups, use_bias=False,
                     dtype=x.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                         momentum=0.99, dtype=jnp.float32, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=self.bn_eps,
+                         momentum=self.bn_momentum, dtype=jnp.float32,
+                         name="bn")(x)
         return nn.silu(x) if self.act else x
 
 
@@ -114,17 +137,21 @@ class MBConv(nn.Module):
     kernel: int
     stride: int
     drop_path: float
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         residual = x
         expanded = self.in_features * self.expand_ratio
+        bn = dict(bn_eps=self.bn_eps, bn_momentum=self.bn_momentum)
         if self.expand_ratio != 1:
-            x = ConvBNAct(expanded, 1, name="expand")(x, train)
+            x = ConvBNAct(expanded, 1, name="expand", **bn)(x, train)
         x = ConvBNAct(expanded, self.kernel, self.stride, groups=expanded,
-                      name="depthwise")(x, train)
+                      name="depthwise", **bn)(x, train)
         x = SqueezeExcite(max(1, self.in_features // 4), name="se")(x)
-        x = ConvBNAct(self.out_features, 1, act=False, name="project")(x, train)
+        x = ConvBNAct(self.out_features, 1, act=False, name="project",
+                      **bn)(x, train)
         if self.stride == 1 and self.in_features == self.out_features:
             x = DropPath(self.drop_path, deterministic=not train)(x) + residual
         return x
@@ -139,8 +166,10 @@ class EfficientNet(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         width, depth, _ = VARIANTS[self.variant]
+        eps, mom = _bn_config(self.variant)
+        bn = dict(bn_eps=eps, bn_momentum=mom)
         stem_ch = _round_channels(32, width)
-        x = ConvBNAct(stem_ch, 3, 2, name="stem")(x, train)
+        x = ConvBNAct(stem_ch, 3, 2, name="stem", **bn)(x, train)
 
         total_blocks = sum(_round_repeats(r, depth) for _, _, r, _, _ in B0_STAGES)
         block_idx = 0
@@ -150,13 +179,13 @@ class EfficientNet(nn.Module):
             for i in range(_round_repeats(repeats, depth)):
                 rate = self.stochastic_depth * block_idx / total_blocks
                 x = MBConv(in_ch, out_ch, expand, kernel,
-                           stride if i == 0 else 1, rate,
+                           stride if i == 0 else 1, rate, **bn,
                            name=f"stage{stage_i + 1}_block{i}")(x, train)
                 in_ch = out_ch
                 block_idx += 1
 
         head_ch = _round_channels(1280, width)
-        x = ConvBNAct(head_ch, 1, name="head")(x, train)
+        x = ConvBNAct(head_ch, 1, name="head", **bn)(x, train)
         return jnp.mean(x, axis=(1, 2))  # global average pool → [N, head_ch]
 
 
