@@ -119,7 +119,7 @@ def main(argv=None):
         tracker.log_params({
             "start_steps": args.start_steps, "end_steps": args.end_steps,
             "steps_per_phase": args.steps_per_phase,
-            "student_prediction_type": "v_prediction",
+            "student_prediction_type": args.student_prediction_type,
             "teacher_model_dir": str(args.model_dir),
         })
         for cls in classes:

@@ -89,16 +89,21 @@ def make_sampler(stack: SDStack, unet_params, text_params,
         quant_fp_tail=config.quant_fp_tail)
 
 
-def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,
-                 cls: str, quota: int, flags: SDFlags, tracker=None,
-                 mesh=None) -> bool:
-    """The filesystem-state resume branch (train_with_lora_per_class.py
-    :252-290): if lora_{cls} exists, reload the adapter and top up missing
-    samples. Returns True when handled."""
-    lora_dir = folder / f"lora_{cls}"
+def restore_class_params(stack: SDStack, config: DiffusionConfig,
+                         folder: Path, cls: str):
+    """Reload class `cls`'s trained bundle from `folder/lora_{cls}` and
+    return `(merged_unet_params, text_params)` with every trained piece
+    attached (unet LoRA merged, unfrozen base layers overlaid, DreamBooth
+    token re-registered + row scattered, text-encoder LoRA merged) — the
+    restore half of the reference's resume branch
+    (train_with_lora_per_class.py:252-290). Returns None when no bundle
+    exists. Shared by the sampling resume path (resume_class) and the
+    SD distillation CLI (cli/distill_sd.py), which distills exactly the
+    restored class model. Mutates `stack` when DreamBooth tokens are
+    restored (tokenizer + text module vocab growth)."""
+    lora_dir = Path(folder) / f"lora_{cls}"
     if not lora_dir.exists():
-        return False
-    print_banner(f"Model for {cls} class already trained")
+        return None
     lcfg = LoRAConfig(config.lora_rank, config.lora_alpha, config.lora_dropout,
                      config.modules_lora)
     bundle = load_lora(lora_dir)  # full trainable bundle (see train_class)
@@ -140,6 +145,20 @@ def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,
         tcfg = LoRAConfig(config.lora_rank, config.lora_alpha, 0.0,
                           ("q_proj", "k_proj", "v_proj", "out_proj"))
         text_params = merge_lora(text_params, bundle["text_lora"], tcfg)
+    return merged, text_params
+
+
+def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,
+                 cls: str, quota: int, flags: SDFlags, tracker=None,
+                 mesh=None) -> bool:
+    """The filesystem-state resume branch (train_with_lora_per_class.py
+    :252-290): if lora_{cls} exists, reload the adapter and top up missing
+    samples. Returns True when handled."""
+    restored = restore_class_params(stack, config, folder, cls)
+    if restored is None:
+        return False
+    print_banner(f"Model for {cls} class already trained")
+    merged, text_params = restored
     sampler = make_sampler(stack, merged, text_params, config, mesh)
     prompt = resume_prompt(cls, flags.unconditional)
     out_dir = folder / "samples" / cls

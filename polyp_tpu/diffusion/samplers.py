@@ -83,9 +83,21 @@ def _inference_scope(fn):
 
 def with_cfg(raw_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
              cond: jax.Array, uncond: jax.Array,
-             guidance_scale: float) -> ModelFn:
+             guidance_scale: float | None) -> ModelFn:
     """Classifier-free guidance by batch doubling — one fused forward for
-    (uncond, cond), mirroring StableDiffusionPipeline's 2× batch trick."""
+    (uncond, cond), mirroring StableDiffusionPipeline's 2× batch trick.
+
+    guidance_scale=None means guidance is already FOLDED into the model
+    (a progressively-distilled student, train/distill.py): the model runs
+    cond-only at 1× batch — the throughput payoff of CFG folding."""
+
+    if guidance_scale is None:
+        def cond_only(x: jax.Array, t: jax.Array) -> jax.Array:
+            n = x.shape[0]
+            emb = jnp.broadcast_to(cond, (n,) + cond.shape[-2:])
+            return raw_fn(x, t, emb)
+
+        return cond_only
 
     def model_fn(x: jax.Array, t: jax.Array) -> jax.Array:
         n = x.shape[0]

@@ -236,3 +236,51 @@ def test_dreambooth_resume_rebinds_token_id(corpus, tmp_path, monkeypatch):
     current = stack.tokenizer.convert_tokens_to_ids("mjt")
     assert current == base_vocab
     assert (folder / "samples/ASS/1.png").exists()
+
+
+@pytest.mark.parametrize("student_head", ["epsilon"])
+def test_distill_sd_cli(corpus, tmp_path, monkeypatch, student_head):
+    """polyp-distill-sd e2e: distill per-class SD LoRA models (fabricated
+    lora bundles in the lora-per-class output layout) into few-step
+    guidance-folded students; distilled checkpoint + meta + cond-only
+    sampling through the real StableDiffusionSampler (guidance_scale=None).
+    No reference analogue — the scratch twin is test_distill_cli."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from polyp_tpu.cli.common import load_sd_stack
+    from polyp_tpu.cli.distill_sd import main
+    from polyp_tpu.configs import DiffusionConfig
+    from polyp_tpu.lora import LoRAConfig, init_lora, save_lora
+
+    # fabricate trained bundles in the lora-per-class output layout
+    stack = load_sd_stack(None, tiny=True)
+    cfg = DiffusionConfig()
+    adapter = init_lora(stack.unet_params,
+                        LoRAConfig(cfg.lora_rank, cfg.lora_alpha,
+                                   cfg.lora_dropout, cfg.modules_lora),
+                        jax.random.PRNGKey(1))
+    for cls in ("AD", "HP", "ASS"):
+        save_lora(tmp_path / "lorarun" / f"lora_{cls}",
+                  {"unet_lora": adapter})
+
+    main(["--data-root", str(corpus), "--cache-dir", str(tmp_path / "cache"),
+          "--tracker-root", str(tmp_path / "runs"), "--tiny",
+          "--model-dir", str(tmp_path / "lorarun"),
+          "--image_size", "32", "--train_batch_size", "4",
+          "--num_train_timesteps", "8", "--start_steps", "4",
+          "--end_steps", "2", "--steps_per_phase", "3",
+          "--reparam_steps", "2", "--learning_rate", "1e-4",
+          "--student_prediction_type", student_head,
+          "--generate", "2", "--output-dir", str(tmp_path / "distsd")])
+    for cls in ("AD", "HP", "ASS"):
+        out = tmp_path / "distsd/models" / f"distilled_{cls}"
+        assert out.exists(), cls
+        meta = json.loads(
+            (tmp_path / "distsd/models" / f"distilled_{cls}_meta.json")
+            .read_text())
+        assert meta["num_steps"] == 2
+        assert meta["prediction_type"] == student_head
+        assert meta["guidance"] == "folded"
+        samples = tmp_path / "distsd/samples" / cls
+        assert sorted(p.name for p in samples.glob("*.png")) == ["1.png",
+                                                                 "2.png"]

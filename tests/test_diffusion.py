@@ -160,3 +160,29 @@ class TestLoss:
         assert float(epsilon_mse_loss(schedule, noise, x0, noise, t)) == 0.0
         assert float(epsilon_mse_loss(schedule, noise + 1, x0, noise, t)) \
             == pytest.approx(1.0)
+
+
+class TestCFGFolded:
+    def test_guidance_none_is_cond_only_single_batch(self):
+        """with_cfg(guidance_scale=None): the distilled-student contract —
+        cond-only forwards at 1x batch (no CFG doubling), equal to calling
+        the raw model with the cond embedding broadcast."""
+        import jax
+        import jax.numpy as jnp
+
+        from polyp_tpu.diffusion.samplers import with_cfg
+
+        seen = []
+
+        def raw_fn(x, t, emb):
+            seen.append(x.shape[0])
+            return x * 0.1 + jnp.mean(emb)
+
+        cond = jnp.ones((1, 7, 4))
+        uncond = jnp.zeros((1, 7, 4))
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 2, 1))
+        t = jnp.zeros((3,), jnp.int32)
+        folded = with_cfg(raw_fn, cond, uncond, None)(x, t)
+        assert seen == [3]  # 1x batch, not 2x
+        expected = raw_fn(x, t, jnp.broadcast_to(cond, (3, 7, 4)))
+        assert jnp.allclose(folded, expected)
