@@ -193,6 +193,12 @@ def main(argv=None):
 
             out = Path(config.output_dir) / "models" / f"distilled_{cls}"
             save_pytree(out, {"params": result.params})
+            # the trained cond embedding travels with the student: serving
+            # must not depend on the resume-time text stack (a DreamBooth
+            # class's special token only exists in the grown vocab).
+            # fp32 on disk — npy can't round-trip bfloat16
+            np.save(out.parent / f"distilled_{cls}_cond.npy",
+                    np.asarray(cond).astype(np.float32))
             (out.parent / f"distilled_{cls}_meta.json").write_text(
                 json.dumps({"num_steps": result.num_steps,
                             "prediction_type": result.prediction_type,
@@ -220,6 +226,42 @@ def main(argv=None):
                                 config.seed)
                 print(f"  wrote {args.generate} {result.num_steps}-step "
                       f"samples to {sample_dir}")
+
+
+def load_student_sampler(stack, output_dir: str | Path, cls: str,
+                         config: DiffusionConfig,
+                         mesh=None) -> StableDiffusionSampler:
+    """Reload a polyp-distill-sd output (`models/distilled_{cls}` +
+    meta.json) into a ready sampler — the serving path for distilled
+    students (polyp-serve --distilled-dir). The meta's sampling convention
+    (step count, prediction type, trailing grid, folded guidance)
+    overrides the config's; image_size/quantize still come from `config`."""
+    from types import SimpleNamespace
+
+    from polyp_tpu.utils.checkpoint import load_pytree
+
+    models_dir = Path(output_dir) / "models"
+    meta = json.loads((models_dir / f"distilled_{cls}_meta.json").read_text())
+    params = load_pytree(models_dir / f"distilled_{cls}",
+                         like={"params": stack.unet_params})["params"]
+    result = SimpleNamespace(params=params, num_steps=meta["num_steps"],
+                             prediction_type=meta["prediction_type"])
+    config = DiffusionConfig(
+        image_size=config.image_size, quantize=config.quantize,
+        quant_fp_head=config.quant_fp_head,
+        quant_fp_tail=config.quant_fp_tail,
+        num_train_timesteps=meta["num_train_timesteps"])
+    sampler = make_student_sampler(stack, result,
+                                   stack.text_params["params"],
+                                   config, mesh=mesh)
+    cond_file = models_dir / f"distilled_{cls}_cond.npy"
+    if cond_file.exists():
+        # the class prompt resolves to the embedding the student was
+        # actually trained on (incl. DreamBooth tokens the base text
+        # stack cannot encode)
+        sampler.register_prompt_embedding(meta["prompt"],
+                                          np.load(cond_file))
+    return sampler
 
 
 def make_student_sampler(stack, result, text_params,

@@ -240,6 +240,12 @@ class StableDiffusionSampler:
                 self.text_params, ids)
         return self._encode_cache[prompt]
 
+    def register_prompt_embedding(self, prompt: str, emb: jax.Array) -> None:
+        """Pin `prompt` to a precomputed [1, 77, D] cond embedding — e.g. a
+        distilled student's training-time embedding whose DreamBooth token
+        the base text stack cannot encode (cli/distill_sd.py)."""
+        self._encode_cache[prompt] = jnp.asarray(emb)
+
     def _generate_impl(self, unet_params, vae_params, cond, uncond, key,
                        batch_size: int, init=None):
         latent_size = self.image_size // 8

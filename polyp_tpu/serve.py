@@ -240,6 +240,7 @@ def serve(service: GenerationService, host: str = "127.0.0.1",
 
 def main(argv=None):
     import argparse
+    from pathlib import Path
 
     from polyp_tpu.cli.common import load_sd_stack
     from polyp_tpu.cli.sd_common import make_sampler
@@ -260,21 +261,38 @@ def main(argv=None):
                         choices=["w8a8", "w8a8_static"],
                         help="W8A8 UNet sampling (ops/quant.py); _static "
                              "calibrates per-timestep scales on first use")
+    parser.add_argument("--distilled-dir", default=None,
+                        help="serve a polyp-distill-sd output instead of "
+                             "the base stack: few-step trailing-grid DDIM, "
+                             "guidance folded (cond-only 1x-batch UNet)")
+    parser.add_argument("--distilled-class", default="AD",
+                        help="which distilled_{cls} student to serve")
     args = parser.parse_args(argv)
 
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
     config = DiffusionConfig(image_size=args.image_size,
                              num_inference_steps=args.steps,
                              quantize=args.quantize)
-    sampler = make_sampler(stack, stack.unet_params,
-                           stack.text_params["params"], config)
+    if args.distilled_dir is not None:
+        from polyp_tpu.cli.distill_sd import load_student_sampler
+        sampler = load_student_sampler(stack, args.distilled_dir,
+                                       args.distilled_class, config)
+        model_name = f"polyp-sd-distilled-{args.distilled_class}"
+        meta = json.loads(
+            (Path(args.distilled_dir) / "models" /
+             f"distilled_{args.distilled_class}_meta.json").read_text())
+        warm = meta["prompt"]  # the embedding the student was trained on
+    else:
+        sampler = make_sampler(stack, stack.unet_params,
+                               stack.text_params["params"], config)
+        model_name, warm = "polyp-sd", "a colon polyp"
 
     def batch_sampler(prompts, keys):
         # pad_to=max_batch: every launch shares one compiled executable
         return sampler.generate_batch(prompts, keys, pad_to=args.max_batch)
 
     service = GenerationService(batch_sampler, args.max_batch,
-                                warm_prompt="a colon polyp",
+                                model_name=model_name, warm_prompt=warm,
                                 batch_window_s=args.batch_window_ms / 1e3)
     server = serve(service, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} (warm)")

@@ -284,3 +284,20 @@ def test_distill_sd_cli(corpus, tmp_path, monkeypatch, student_head):
         samples = tmp_path / "distsd/samples" / cls
         assert sorted(p.name for p in samples.glob("*.png")) == ["1.png",
                                                                  "2.png"]
+
+    # --- serving-path reload: load_student_sampler + generate_batch -------
+    from polyp_tpu.cli.common import load_sd_stack as _lss
+    from polyp_tpu.cli.distill_sd import load_student_sampler
+    from polyp_tpu.configs import DiffusionConfig as _DC
+    from polyp_tpu.serve import request_sample_key
+
+    stack2 = _lss(None, tiny=True)
+    sampler = load_student_sampler(stack2, tmp_path / "distsd", "AD",
+                                   _DC(image_size=32))
+    assert sampler.num_steps == 2 and sampler.guidance_scale is None
+    meta = json.loads((tmp_path / "distsd/models/distilled_AD_meta.json")
+                      .read_text())
+    keys = [request_sample_key(5, j) for j in range(2)]
+    imgs = sampler.generate_batch([meta["prompt"]] * 2, keys, pad_to=4)
+    assert imgs.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
