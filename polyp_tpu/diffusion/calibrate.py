@@ -93,7 +93,7 @@ def default_scales_cache(fingerprint: str) -> Path:
 
 def ensure_scales(unet, params, schedule, latent_shape,
                   cond=None, uncond=None, *, num_steps: int = 8,
-                  guidance_scale: float = 7.5,
+                  guidance_scale: float | None = 7.5,
                   fingerprint_extras: tuple = (), mesh=None) -> dict:
     """The one-stop w8a8_static scale bootstrap every entry point shares:
     fingerprint the checkpoint → hit the disk cache → calibrate on miss.
@@ -126,7 +126,7 @@ def calibrate_unet_scales(
     uncond: jax.Array | None = None,
     key: jax.Array | None = None,
     num_steps: int = 8,
-    guidance_scale: float = 7.5,
+    guidance_scale: float | None = 7.5,
     margin: float = 1.05,
     dtype=jnp.bfloat16,
     per_timestep: bool = True,
@@ -153,6 +153,11 @@ def calibrate_unet_scales(
     if cond is not None:
         dtype = cond.dtype
     n = latent_shape[0]
+    # guidance_scale=None = guidance folded into the model (a distilled
+    # student, with_cfg(None)): it never runs an uncond branch, so neither
+    # does its calibration
+    if guidance_scale is None:
+        uncond = None
 
     @jax.jit
     def calib_fwd(params, x, t, ctx):
@@ -187,11 +192,16 @@ def calibrate_unet_scales(
         if i + 1 < len(ts):
             # deterministic DDIM move to the next calibration timestep
             a_t, a_n = abar[int(t)], abar[int(ts[i + 1])]
-            eps32 = eps.astype(jnp.float32)
+            out32 = eps.astype(jnp.float32)
             x32 = x.astype(jnp.float32)
-            x0 = (x32 - np.sqrt(1.0 - a_t) * eps32) / np.sqrt(a_t)
+            if schedule.prediction_type == "v_prediction":
+                # ε = √ᾱ·v + √(1−ᾱ)·x_t — a v-head student's output is
+                # not ε; treating it as such would walk a garbage
+                # trajectory and calibrate the wrong activation ranges
+                out32 = (np.sqrt(a_t) * out32 + np.sqrt(1.0 - a_t) * x32)
+            x0 = (x32 - np.sqrt(1.0 - a_t) * out32) / np.sqrt(a_t)
             x = (np.sqrt(a_n) * x0
-                 + np.sqrt(1.0 - a_n) * eps32).astype(dtype)
+                 + np.sqrt(1.0 - a_n) * out32).astype(dtype)
     if per_timestep:
         return quant.scale_tables_from_stats(points, T, margin)
     return quant.scales_from_stats(

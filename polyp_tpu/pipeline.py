@@ -297,7 +297,8 @@ class StableDiffusionSampler:
             guidance_scale=self.guidance_scale,
             fingerprint_extras=(self.image_size,
                                 self.schedule.num_train_timesteps,
-                                self.guidance_scale),
+                                self.guidance_scale,
+                                self.schedule.prediction_type),
             mesh=self.mesh)
 
     def _out_shardings(self):

@@ -599,3 +599,41 @@ def test_gn_handoff_equals_consumer_through_full_sampler(
                          stack.text_params["params"], cfg)
         outs[mode] = np.asarray(s.for_prompt("polyp")(4, key), np.float32)
     np.testing.assert_array_equal(outs["0"], outs["1"])
+
+
+def test_calibration_folded_guidance_and_v_head():
+    """A distilled student calibrates with guidance_scale=None (cond-only —
+    with_cfg(None)'s contract: no uncond branch runs) and, with a
+    v_prediction schedule, walks a v-converted trajectory (ε = √ᾱ·v +
+    √(1−ᾱ)·x) instead of treating the head output as ε."""
+    from polyp_tpu.diffusion import DiffusionSchedule
+    from polyp_tpu.diffusion.calibrate import calibrate_unet_scales
+    from polyp_tpu.models import tiny_condition_unet
+
+    unet = tiny_condition_unet(dtype=jnp.float32)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 8, 8, 4))
+    t = jnp.asarray([3, 3], jnp.int32)
+    ctx = jax.random.normal(jax.random.fold_in(k, 1), (2, 7, 32))
+    params = unet.init(k, x, t, ctx)["params"]
+
+    sched_v = DiffusionSchedule.create(10, prediction_type="v_prediction")
+    tables = calibrate_unet_scales(
+        unet, params, sched_v, (2, 8, 8, 4), cond=ctx[:1],
+        uncond=jnp.zeros_like(ctx[:1]),  # must be ignored under None
+        guidance_scale=None, num_steps=3, dtype=jnp.float32)
+    assert tables and all(min(v) > 0 for v in tables.values())
+
+    # the folded calibration ignored uncond: it equals an explicitly
+    # uncond-free one
+    tables2 = calibrate_unet_scales(
+        unet, params, sched_v, (2, 8, 8, 4), cond=ctx[:1], uncond=None,
+        guidance_scale=7.5, num_steps=3, dtype=jnp.float32)
+    assert tables == tables2
+
+    # v-conversion changes the walked trajectory vs an ε schedule
+    sched_e = DiffusionSchedule.create(10)
+    tables_eps = calibrate_unet_scales(
+        unet, params, sched_e, (2, 8, 8, 4), cond=ctx[:1], uncond=None,
+        num_steps=3, dtype=jnp.float32)
+    assert tables != tables_eps
