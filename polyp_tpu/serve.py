@@ -5,11 +5,14 @@ The production/serving layer the reference lacks entirely (its only
 interface is SLURM batch scripts, SURVEY §1 CLI/cluster layer). A tiny
 stdlib HTTP server exposes the jitted sampling pipeline:
 
-  POST /generate   {"prompt": str, "num_images": int≤max_batch, "seed": int}
+  POST /generate   {"prompt": str, "num_images": int≤max_batch, "seed": int,
+                    "model": str?}   # routing key when serving several
                    → {"images": [base64 PNG, ...], "latency_s": float,
-                      "batched_samples": int}
-  GET  /healthz    → {"status": "ok", "model": ..., "warm": bool,
-                      "stats": {requests, launches, coalesced_samples}}
+                      "model": str, "batched_samples": int}
+  GET  /healthz    → {"status": "ok", "model": ..., "models": [...],
+                      "warm": bool,
+                      "stats": {requests, launches, coalesced_samples,
+                                launches_by_model}}
 
 Design — continuous micro-batching on an exclusive accelerator:
 
@@ -32,6 +35,11 @@ Design — continuous micro-batching on an exclusive accelerator:
   put any HTTP fan-in in front — the serving-critical parts are the
   resident compiled pipeline and the coalescing dispatcher, not the socket
   handling.
+* Multi-model: one service can host several samplers (e.g. the three
+  per-class distilled students, `polyp-serve --distilled-dir ...
+  --distilled-class all`) behind one chip. The dispatcher coalesces only
+  same-model requests and serves models in arrival order (FIFO by launch),
+  so one model's burst cannot starve another's queued request.
 """
 
 from __future__ import annotations
@@ -73,6 +81,7 @@ class _Request:
     prompt: str
     num_images: int
     seed: int
+    model: str = ""                           # routing key (multi-model)
     done: threading.Event = field(default_factory=threading.Event)
     images: np.ndarray | None = None          # uint8 [n,H,W,C]
     batched_samples: int = 0                  # launch size it rode in
@@ -80,37 +89,61 @@ class _Request:
 
 
 class GenerationService:
-    """Request-coalescing front end over a MultiPromptSampler.
+    """Request-coalescing front end over one or several MultiPromptSamplers.
 
     One dispatcher thread owns the device; `generate` is safe to call from
-    any number of threads (the HTTP server is threading)."""
+    any number of threads (the HTTP server is threading).
 
-    def __init__(self, batch_sampler: MultiPromptSampler, max_batch: int = 8,
+    Multi-model serving: pass a dict {model_key: sampler} to host several
+    models (e.g. the three per-class distilled students) behind one chip.
+    Requests carry a `model` key (default: the first); the dispatcher
+    coalesces only same-model requests into a launch and drains models in
+    arrival order, so a burst on one model cannot starve another — each
+    launch takes the OLDEST pending request plus whatever same-model
+    requests fit."""
+
+    def __init__(self, batch_sampler: MultiPromptSampler
+                 | dict[str, MultiPromptSampler], max_batch: int = 8,
                  model_name: str = "polyp-sd", warm_prompt: str | None = None,
                  batch_window_s: float = 0.05):
-        self._sampler = batch_sampler
+        if not isinstance(batch_sampler, dict):
+            batch_sampler = {model_name: batch_sampler}
+        if not batch_sampler:
+            raise ValueError("need at least one sampler")
+        self._samplers = dict(batch_sampler)
+        self.default_model = next(iter(self._samplers))
         self.max_batch = max_batch
         self.model_name = model_name
         self.batch_window_s = batch_window_s
         self._queue: queue.Queue[_Request | None] = queue.Queue()
         self._warm = False
         self._closed = False
-        self.stats = {"requests": 0, "launches": 0, "coalesced_samples": 0}
+        self.stats = {"requests": 0, "launches": 0, "coalesced_samples": 0,
+                      "launches_by_model": {k: 0 for k in self._samplers}}
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._dispatcher.start()
         if warm_prompt is not None:
             self.generate(warm_prompt, 1, seed=0)
 
+    @property
+    def models(self) -> list[str]:
+        return list(self._samplers)
+
     # -- client side ------------------------------------------------------
 
-    def generate(self, prompt: str, num_images: int, seed: int = 0) -> dict:
+    def generate(self, prompt: str, num_images: int, seed: int = 0,
+                 model: str | None = None) -> dict:
         if not 1 <= num_images <= self.max_batch:
             raise ValueError(f"num_images must be in [1, {self.max_batch}]")
+        model = model or self.default_model
+        if model not in self._samplers:
+            raise ValueError(f"unknown model {model!r} "
+                             f"(serving: {sorted(self._samplers)})")
         if self._closed:
             raise RuntimeError("service is closed")
         t0 = time.perf_counter()
-        req = _Request(prompt, int(num_images), int(seed))
+        req = _Request(prompt, int(num_images), int(seed), model)
         self._queue.put(req)
         req.done.wait()
         if req.error is not None:
@@ -122,7 +155,7 @@ class GenerationService:
             Image.fromarray(img).save(buf, format="PNG")
             payload.append(base64.b64encode(buf.getvalue()).decode())
         return {"images": payload, "latency_s": round(latency, 3),
-                "prompt": prompt, "seed": seed,
+                "prompt": prompt, "seed": seed, "model": model,
                 "batched_samples": req.batched_samples}
 
     @property
@@ -137,16 +170,36 @@ class GenerationService:
     # -- dispatcher side ---------------------------------------------------
 
     def _dispatch_loop(self) -> None:
-        carry: _Request | None = None
+        from collections import deque
+
+        pending: deque[_Request] = deque()
+        closing = False
         while True:
-            req = carry if carry is not None else self._queue.get()
-            carry = None
-            if req is None:
-                return
-            batch = [req]
-            total = req.num_images
+            if not pending:
+                if closing:
+                    return
+                req = self._queue.get()
+                if req is None:
+                    return
+                pending.append(req)
+            head = pending.popleft()
+            batch = [head]
+            total = head.num_images
             deadline = time.monotonic() + self.batch_window_s
             while total < self.max_batch:
+                # scoop already-pending same-model requests, FIFO
+                i = 0
+                while i < len(pending) and total < self.max_batch:
+                    r = pending[i]
+                    if (r.model == head.model
+                            and total + r.num_images <= self.max_batch):
+                        del pending[i]
+                        batch.append(r)
+                        total += r.num_images
+                    else:
+                        i += 1
+                if total >= self.max_batch or closing:
+                    break
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
                     break
@@ -155,13 +208,9 @@ class GenerationService:
                 except queue.Empty:
                     break
                 if nxt is None:          # close() while coalescing
-                    self._run_batch(batch, total)
-                    return
-                if total + nxt.num_images > self.max_batch:
-                    carry = nxt          # doesn't fit — heads the next launch
-                    break
-                batch.append(nxt)
-                total += nxt.num_images
+                    closing = True       # flush this + all pending batches
+                    continue
+                pending.append(nxt)      # scooped next iteration if same model
             self._run_batch(batch, total)
 
     def _run_batch(self, batch: list[_Request], total: int) -> None:
@@ -172,10 +221,12 @@ class GenerationService:
                 prompts.append(r.prompt)
                 keys.append(request_sample_key(r.seed, j))
         try:
-            images = to_uint8(self._sampler(prompts, jax.numpy.stack(keys)))
+            images = to_uint8(self._samplers[batch[0].model](
+                prompts, jax.numpy.stack(keys)))
             self._warm = True
             self.stats["requests"] += len(batch)
             self.stats["launches"] += 1
+            self.stats["launches_by_model"][batch[0].model] += 1
             self.stats["coalesced_samples"] += total if len(batch) > 1 else 0
             off = 0
             for r in batch:
@@ -203,6 +254,7 @@ def make_handler(service: GenerationService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok", "model": service.model_name,
+                                 "models": service.models,
                                  "warm": service.warm,
                                  "stats": dict(service.stats)})
             else:
@@ -217,7 +269,7 @@ def make_handler(service: GenerationService):
                 req = json.loads(self.rfile.read(length) or b"{}")
                 result = service.generate(
                     req.get("prompt", ""), int(req.get("num_images", 1)),
-                    int(req.get("seed", 0)))
+                    int(req.get("seed", 0)), req.get("model"))
                 self._send(200, result)
             except ValueError as e:
                 self._send(400, {"error": str(e)})
@@ -265,37 +317,57 @@ def main(argv=None):
                         help="serve a polyp-distill-sd output instead of "
                              "the base stack: few-step trailing-grid DDIM, "
                              "guidance folded (cond-only 1x-batch UNet)")
-    parser.add_argument("--distilled-class", default="AD",
-                        help="which distilled_{cls} student to serve")
+    parser.add_argument("--distilled-class", default="all",
+                        help="which distilled_{cls} student(s) to serve: a "
+                             "class name, or 'all' to host every "
+                             "distilled_* found (multi-model routing via "
+                             "the request's \"model\" field)")
     args = parser.parse_args(argv)
 
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
     config = DiffusionConfig(image_size=args.image_size,
                              num_inference_steps=args.steps,
                              quantize=args.quantize)
+
+    def as_batch_sampler(s):
+        # pad_to=max_batch: every launch shares one compiled executable
+        return lambda prompts, keys: s.generate_batch(prompts, keys,
+                                                      pad_to=args.max_batch)
+
     if args.distilled_dir is not None:
         from polyp_tpu.cli.distill_sd import load_student_sampler
-        sampler = load_student_sampler(stack, args.distilled_dir,
-                                       args.distilled_class, config)
-        model_name = f"polyp-sd-distilled-{args.distilled_class}"
-        meta = json.loads(
-            (Path(args.distilled_dir) / "models" /
-             f"distilled_{args.distilled_class}_meta.json").read_text())
-        warm = meta["prompt"]  # the embedding the student was trained on
+        models_dir = Path(args.distilled_dir) / "models"
+        if args.distilled_class == "all":
+            classes = sorted(p.name.split("distilled_", 1)[1]
+                             for p in models_dir.glob("distilled_*")
+                             if p.is_dir())
+        else:
+            classes = [args.distilled_class]
+        if not classes:
+            raise FileNotFoundError(f"no distilled_* under {models_dir}")
+        samplers, warm_prompts = {}, {}
+        for cls in classes:
+            samplers[cls] = as_batch_sampler(
+                load_student_sampler(stack, args.distilled_dir, cls, config))
+            warm_prompts[cls] = json.loads(
+                (models_dir / f"distilled_{cls}_meta.json")
+                .read_text())["prompt"]
+        model_name = f"polyp-sd-distilled[{','.join(classes)}]"
+        service = GenerationService(
+            samplers, args.max_batch, model_name=model_name,
+            batch_window_s=args.batch_window_ms / 1e3)
+        for cls in classes:  # warm every student with its trained embedding
+            service.generate(warm_prompts[cls], 1, seed=0, model=cls)
     else:
         sampler = make_sampler(stack, stack.unet_params,
                                stack.text_params["params"], config)
-        model_name, warm = "polyp-sd", "a colon polyp"
-
-    def batch_sampler(prompts, keys):
-        # pad_to=max_batch: every launch shares one compiled executable
-        return sampler.generate_batch(prompts, keys, pad_to=args.max_batch)
-
-    service = GenerationService(batch_sampler, args.max_batch,
-                                model_name=model_name, warm_prompt=warm,
-                                batch_window_s=args.batch_window_ms / 1e3)
+        service = GenerationService(
+            as_batch_sampler(sampler), args.max_batch,
+            model_name="polyp-sd", warm_prompt="a colon polyp",
+            batch_window_s=args.batch_window_ms / 1e3)
     server = serve(service, args.host, args.port)
-    print(f"serving on http://{args.host}:{args.port} (warm)")
+    print(f"serving {service.models} on http://{args.host}:{args.port} "
+          f"(warm)")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

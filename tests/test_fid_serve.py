@@ -348,3 +348,104 @@ class TestBenchServe:
         assert percentile(vals, 0.0) == 0.0
         assert percentile(vals, 1.0) == 99.0
         assert abs(percentile(vals, 0.5) - 50.0) <= 1.0
+
+
+class TestMultiModel:
+    """Multi-model routing: same-model coalescing, cross-model isolation,
+    FIFO fairness across models, per-model stats."""
+
+    def _service(self, window=0.5, max_batch=4):
+        from polyp_tpu.serve import GenerationService
+
+        calls = []
+
+        def tagged(tag):
+            def sampler(prompts, keys):
+                calls.append((tag, list(prompts)))
+                return _fake_batch_sampler(prompts, keys) + (
+                    0.01 if tag == "B" else 0.0)
+            return sampler
+
+        svc = GenerationService({"A": tagged("A"), "B": tagged("B")},
+                                max_batch=max_batch, batch_window_s=window)
+        return svc, calls
+
+    def _concurrent(self, svc, requests):
+        import threading
+
+        results = [None] * len(requests)
+        errors = []
+
+        def run(i, kw):
+            try:
+                results[i] = svc.generate(**kw)
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=run, args=(i, kw))
+                   for i, kw in enumerate(requests)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        return results
+
+    def test_same_model_coalesces_cross_model_does_not(self):
+        svc, calls = self._service()
+        try:
+            a1, a2, b1 = self._concurrent(svc, [
+                dict(prompt="p", num_images=1, seed=1, model="A"),
+                dict(prompt="q", num_images=1, seed=2, model="A"),
+                dict(prompt="r", num_images=1, seed=3, model="B"),
+            ])
+            assert a1["model"] == "A" and b1["model"] == "B"
+            # A-requests rode one launch; B got its own
+            assert svc.stats["launches"] == 2
+            assert svc.stats["launches_by_model"] == {"A": 1, "B": 1}
+            tags = sorted(t for t, _ in calls)
+            assert tags == ["A", "B"]
+        finally:
+            svc.close()
+
+    def test_default_model_is_first_key(self):
+        svc, calls = self._service(window=0.0)
+        try:
+            out = svc.generate("p", 1, seed=4)
+            assert out["model"] == "A"
+        finally:
+            svc.close()
+
+    def test_unknown_model_rejected(self):
+        svc, _ = self._service(window=0.0)
+        try:
+            with pytest.raises(ValueError, match="unknown model"):
+                svc.generate("p", 1, model="nope")
+        finally:
+            svc.close()
+
+    def test_result_independent_of_cross_model_traffic(self):
+        svc, _ = self._service()
+        try:
+            solo = svc.generate("p", 2, seed=7, model="B")
+            mixed = self._concurrent(svc, [
+                dict(prompt="p", num_images=2, seed=7, model="B"),
+                dict(prompt="z", num_images=2, seed=8, model="A"),
+            ])[0]
+            assert solo["images"] == mixed["images"]
+        finally:
+            svc.close()
+
+    def test_close_flushes_all_pending_models(self):
+        # requests queued at close() time must still be answered
+        svc, _ = self._service(window=0.2)
+        import threading
+        results = []
+        t = threading.Thread(target=lambda: results.append(
+            svc.generate("p", 1, seed=1, model="B")))
+        t.start()
+        import time as _t
+        _t.sleep(0.05)  # B waiting inside the window
+        svc.close()
+        t.join(timeout=30)
+        assert results and results[0]["model"] == "B"

@@ -242,6 +242,37 @@ class TestShardedSampling:
             rtol=2e-4, atol=2e-4)
 
 
+class TestFoldedGuidanceSharded:
+    def test_cond_only_sampler_sharded_matches_unsharded(self):
+        """A distilled student's sampler (guidance_scale=None — cond-only
+        1x-batch forwards, trailing DDIM, cli/distill_sd.py) composes with
+        a data mesh exactly like the CFG sampler does."""
+        from types import SimpleNamespace
+
+        from polyp_tpu.cli.common import load_sd_stack
+        from polyp_tpu.cli.distill_sd import make_student_sampler
+        stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+        cfg = DiffusionConfig(image_size=32, num_train_timesteps=8)
+        student = SimpleNamespace(params=stack.unet_params, num_steps=2,
+                                  prediction_type="epsilon")
+        plain = make_student_sampler(stack, student,
+                                     stack.text_params["params"], cfg)
+        sharded = make_student_sampler(stack, student,
+                                       stack.text_params["params"], cfg,
+                                       mesh=make_mesh({"data": 8}))
+        assert plain.guidance_scale is None
+        key = jax.random.PRNGKey(11)
+        a = plain.for_prompt("polyp")(8, key)
+        b = sharded.for_prompt("polyp")(8, key)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+        keys = list(jax.random.split(key, 3))
+        c = plain.generate_batch(["polyp", "x", "y"], keys, pad_to=8)
+        d = sharded.generate_batch(["polyp", "x", "y"], keys, pad_to=8)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(d),
+                                   rtol=2e-4, atol=2e-4)
+
+
 class TestQuantizedShardedSampling:
     def test_mesh_and_w8a8_compose(self, monkeypatch):
         """--mesh data=8 together with --quantize w8a8: the trace-time quant
