@@ -73,7 +73,8 @@ def percentile(sorted_vals: list[float], q: float) -> float:
 
 
 def run_load(service: GenerationService, clients: int, duration: float,
-             http_port: int | None = None) -> dict:
+             http_port: int | None = None,
+             prompts: list[str] = PROMPTS) -> dict:
     """Closed-loop load: each client thread issues 1-image requests
     back-to-back for `duration` seconds. Returns latency/throughput stats."""
     latencies: list[float] = []
@@ -103,7 +104,7 @@ def run_load(service: GenerationService, clients: int, duration: float,
     def client(cid: int) -> None:
         n = 0
         while time.monotonic() < stop:
-            prompt = PROMPTS[(cid + n) % len(PROMPTS)]
+            prompt = prompts[(cid + n) % len(prompts)]
             t0 = time.perf_counter()
             issue(prompt, seed=cid * 100003 + n)
             dt = time.perf_counter() - t0
@@ -140,8 +141,16 @@ def build_batch_sampler(args, max_batch: int):
     config = DiffusionConfig(image_size=args.image_size,
                              num_inference_steps=args.steps,
                              quantize=args.quantize)
-    sampler = make_sampler(stack, stack.unet_params,
-                           stack.text_params["params"], config)
+    if args.distilled_dir is not None:
+        # distilled-student serving: few-step trailing DDIM, folded
+        # guidance (cond-only 1× batch) — the step-count × CFG-halving
+        # serving speedup is exactly what this mode measures vs the base
+        from polyp_tpu.cli.distill_sd import load_student_sampler
+        sampler = load_student_sampler(stack, args.distilled_dir,
+                                       args.distilled_class, config)
+    else:
+        sampler = make_sampler(stack, stack.unet_params,
+                               stack.text_params["params"], config)
 
     def batch_sampler(prompts, keys):
         return sampler.generate_batch(prompts, keys, pad_to=max_batch)
@@ -161,12 +170,23 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_window_ms", type=float, default=50.0)
     parser.add_argument("--quantize", default=None,
                         choices=["w8a8", "w8a8_static"])
+    parser.add_argument("--distilled-dir", default=None,
+                        help="bench a polyp-distill-sd student instead of "
+                             "the base sampler")
+    parser.add_argument("--distilled-class", default="AD")
     parser.add_argument("--http", action="store_true",
                         help="route requests through the HTTP layer too")
     parser.add_argument("--skip_solo", action="store_true",
                         help="skip the max_batch=1 no-coalescing baseline")
     args = parser.parse_args(argv)
 
+    prompts = PROMPTS
+    if args.distilled_dir is not None:
+        from pathlib import Path
+        meta = json.loads(
+            (Path(args.distilled_dir) / "models" /
+             f"distilled_{args.distilled_class}_meta.json").read_text())
+        prompts = [meta["prompt"]]  # the embedding the student trained on
     results = []
     modes = [("coalesced", args.max_batch)]
     if not args.skip_solo:
@@ -177,7 +197,7 @@ def main(argv=None) -> None:
         batch_sampler = build_batch_sampler(args, max_batch)
         service = GenerationService(
             batch_sampler, max_batch=max_batch,
-            warm_prompt=PROMPTS[0],
+            warm_prompt=prompts[0],
             batch_window_s=args.batch_window_ms / 1e3)
         server = None
         port = None
@@ -186,16 +206,19 @@ def main(argv=None) -> None:
             server = serve(service, port=0)
             port = server.server_address[1]
         # warm each distinct prompt embedding outside the timed window
-        for p in PROMPTS:
+        for p in prompts:
             service.generate(p, 1, seed=0)
         clients = args.clients if mode == "coalesced" else min(
             args.clients, 2)  # solo drains serially; 2 keeps it saturated
-        stats = run_load(service, clients, args.duration, http_port=port)
+        stats = run_load(service, clients, args.duration, http_port=port,
+                         prompts=prompts)
         stats["mode"] = mode
         stats["max_batch"] = max_batch
         stats["image_size"] = args.image_size
         stats["steps"] = args.steps
         stats["quantize"] = args.quantize
+        if args.distilled_dir is not None:
+            stats["distilled"] = args.distilled_class
         results.append(stats)
         print(json.dumps(stats))
         if server is not None:
