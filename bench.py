@@ -45,6 +45,22 @@ def _reference_baseline() -> tuple[float, int]:
         return 0.007655, 1
 
 
+def _promoted_quant() -> dict | None:
+    """The gate-passing quant config, if one exists (tools/quant_gate.json —
+    vendored from the measured tools/quant_sensitivity.py sweep). The bench
+    headline uses it when `gate_pass` is true; bf16 becomes the companion.
+    Deleting the file (or flipping gate_pass) demotes the headline back to
+    bf16 — the promotion is data, not code."""
+    import pathlib
+
+    p = pathlib.Path(__file__).parent / "tools" / "quant_gate.json"
+    try:
+        promo = json.loads(p.read_text())["promoted"]
+        return promo if promo.get("gate_pass") else None
+    except Exception:
+        return None
+
+
 REFERENCE_CPU_SAMPLES_PER_SEC, REFERENCE_CPU_THREADS = _reference_baseline()
 # A realistic reference deployment is a multi-core node, not this 1-core
 # bench host. 16 cores with PERFECT linear scaling is an upper bound on the
@@ -147,6 +163,101 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
         "sec_per_batch": best,
         "compile_sec": compile_s,
         "batch_size": batch_size,
+    }
+
+
+def bench_distilled(batch_size: int, image_size: int, steps: int,
+                    quick: bool = False, repeats: int = 3,
+                    quantize: str | None = None) -> dict:
+    """Folded-guidance few-step sampling — the distilled-student serving
+    path (train/distill.py + cli/distill_sd.py): cond-only UNet at 1× batch
+    (no CFG doubling), N-step trailing DDIM, VAE decode per image.
+
+    Throughput needs no trained weights: a distilled student has IDENTICAL
+    FLOPs to the random-init model (same architecture, fewer sampler steps,
+    half the CFG batch). Quality is the trained model's burden
+    (BASELINE.md parity debts); throughput is measured here.
+
+    Also decomposes the run into UNet-scan vs VAE-decode device time (the
+    few-step Amdahl term: at 50 steps decode is ~5% of the sample, at 4
+    steps the same decode is ~10× the share)."""
+    from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
+    from polyp_tpu.ops import quant
+    from polyp_tpu.models import (AutoencoderKL, sd14_unet,
+                                  tiny_condition_unet, tiny_vae)
+
+    dtype = jnp.bfloat16
+    if quick:
+        unet = tiny_condition_unet(dtype=dtype)
+        vae = tiny_vae(dtype=dtype)
+        ctx_dim, latent = 32, image_size // 8
+    else:
+        unet = sd14_unet(dtype=dtype)
+        vae = AutoencoderKL(dtype=dtype)
+        ctx_dim, latent = 768, image_size // 8
+
+    k = jax.random.PRNGKey(0)
+    uparams = jax.jit(unet.init)(
+        {"params": k}, jnp.zeros((1, latent, latent, 4), dtype),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, ctx_dim), dtype),
+    )["params"]
+    vparams = jax.jit(vae.init)(
+        {"params": k}, jnp.zeros((1, image_size, image_size, 3), dtype), k)
+    cond = jax.random.normal(k, (1, 77, ctx_dim), dtype)
+    schedule = DiffusionSchedule.create(1000, "scaled_linear", 0.00085, 0.012)
+
+    scales = None
+    if quantize == "w8a8_static":
+        from polyp_tpu.diffusion.calibrate import ensure_scales
+        scales = ensure_scales(unet, uparams, schedule,
+                               (2, latent, latent, 4), cond,
+                               jnp.zeros_like(cond),
+                               fingerprint_extras=(image_size, 1000))
+
+    def denoise(uparams, cond, key):
+        def raw(z, tt, emb):
+            with quant.override(quantize, scales=scales, t=tt):
+                return unet.apply({"params": uparams}, z, tt, emb)
+
+        model_fn = with_cfg(raw, cond, None, None)  # folded: cond-only, 1×
+        return sample("ddim", model_fn, schedule,
+                      (batch_size, latent, latent, 4), key, steps,
+                      spacing="trailing", steps_offset=0)
+
+    @jax.jit
+    def generate(uparams, vparams, cond, key):
+        latents = denoise(uparams, cond, key)
+        return vae.apply(vparams, latents.astype(dtype) / 0.18215,
+                         method=vae.decode)
+
+    unet_only = jax.jit(denoise)
+    decode_only = jax.jit(lambda vparams, z: vae.apply(
+        vparams, z.astype(dtype) / 0.18215, method=vae.decode))
+
+    def timed(fn, *args, n=repeats) -> float:
+        out = fn(*args)  # compile + warmup
+        float(jax.device_get(jnp.mean(out.astype(jnp.float32))))
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            float(jax.device_get(jnp.mean(out.astype(jnp.float32))))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    key = jax.random.PRNGKey(3)
+    e2e = timed(generate, uparams, vparams, cond, key)
+    unet_s = timed(unet_only, uparams, cond, key)
+    z = jax.random.normal(key, (batch_size, latent, latent, 4), dtype)
+    vae_s = timed(decode_only, vparams, z * 0.18215)
+    return {
+        "samples_per_sec": batch_size / e2e,
+        "sec_per_batch": e2e,
+        "unet_scan_sec": unet_s,
+        "vae_decode_sec": vae_s,
+        "vae_share": vae_s / (unet_s + vae_s),
+        "batch_size": batch_size,
+        "steps": steps,
     }
 
 
@@ -314,6 +425,11 @@ def main():
     parser.add_argument("--quant-fp-tail", type=int, default=0,
                         help="with --quantize: final N sampling steps full "
                              "precision (hybrid-precision trajectory)")
+    parser.add_argument("--distilled", type=int, default=0, metavar="STEPS",
+                        help="standalone distilled-student bench: "
+                             "folded-guidance (cond-only, 1x batch) "
+                             "STEPS-step trailing DDIM + VAE decode "
+                             "(bench_distilled; composes with --quantize)")
     parser.add_argument("--watchdog", type=int, default=3600,
                         help="fail loudly if the run has not finished "
                              "within N seconds total (0 disables)")
@@ -323,45 +439,119 @@ def main():
         watchdog, partial = _arm_watchdog(args.watchdog)
     else:
         watchdog, partial = None, {"out": None}
-    result = bench_sampling(args.batch, args.image_size, args.steps,
-                            args.sampler, args.quick, quantize=args.quantize,
-                            quant_fp_head=args.quant_fp_head,
-                            quant_fp_tail=args.quant_fp_tail)
-    value = result["samples_per_sec"]
-    tail = ""
-    if args.quantize and args.quant_fp_head:
-        tail += f"+fp_head{args.quant_fp_head}"
-    if args.quantize and args.quant_fp_tail:
-        tail += f"+fp_tail{args.quant_fp_tail}"
-    out = {
-        "metric": f"{args.image_size}px diffusion samples/sec/chip "
-                  f"({args.steps}-step {args.sampler.upper()}"
-                  + (f", {args.quantize}{tail}" if args.quantize else "")
-                  + ")",
-        "value": round(value, 4),
-        "unit": "samples/sec/chip",
-        "vs_baseline": round(value / REFERENCE_CPU_SAMPLES_PER_SEC, 2),
-        "baseline_threads": REFERENCE_CPU_THREADS,
-        # lower bound: baseline scaled with perfect linearity to a
-        # REFERENCE_NORMALIZED_CORES-core host (see constant above)
-        f"vs_baseline_{REFERENCE_NORMALIZED_CORES}core_bound": round(
-            value / (REFERENCE_CPU_SAMPLES_PER_SEC
-                     * REFERENCE_NORMALIZED_CORES / REFERENCE_CPU_THREADS), 2),
-    }
-    partial["out"] = dict(out)  # headline measured — a later wedge keeps it
-    if args.quantize is None and not args.quick:
-        # companion number on the SAME line (bf16 stays the parsed
-        # headline until w8a8 quality parity is demonstrated — see
-        # BASELINE.md quantization section); best known quant config is
-        # batch 16 (round-2 sweep).
+
+    if args.distilled:
+        d = bench_distilled(args.batch, args.image_size, args.distilled,
+                            args.quick, quantize=args.quantize)
+        out = {
+            "metric": f"{args.image_size}px distilled samples/sec/chip "
+                      f"({args.distilled}-step folded-CFG DDIM"
+                      + (f", {args.quantize}" if args.quantize else "") + ")",
+            "value": round(d["samples_per_sec"], 4),
+            "unit": "samples/sec/chip",
+            "vs_baseline": round(d["samples_per_sec"]
+                                 / REFERENCE_CPU_SAMPLES_PER_SEC, 2),
+            "baseline_threads": REFERENCE_CPU_THREADS,
+            "distilled_steps": d["steps"],
+            "unet_scan_sec": round(d["unet_scan_sec"], 4),
+            "vae_decode_sec": round(d["vae_decode_sec"], 4),
+            "vae_share": round(d["vae_share"], 4),
+        }
+        if watchdog is not None:
+            watchdog.set()
+        print(json.dumps(out))
+        return
+
+    def _line(value: float, metric: str) -> dict:
+        return {
+            "metric": metric,
+            "value": round(value, 4),
+            "unit": "samples/sec/chip",
+            "vs_baseline": round(value / REFERENCE_CPU_SAMPLES_PER_SEC, 2),
+            "baseline_threads": REFERENCE_CPU_THREADS,
+            # lower bound: baseline scaled with perfect linearity to a
+            # REFERENCE_NORMALIZED_CORES-core host (see constant above)
+            f"vs_baseline_{REFERENCE_NORMALIZED_CORES}core_bound": round(
+                value / (REFERENCE_CPU_SAMPLES_PER_SEC
+                         * REFERENCE_NORMALIZED_CORES
+                         / REFERENCE_CPU_THREADS), 2),
+        }
+
+    promo = (_promoted_quant()
+             if args.quantize is None and not args.quick else None)
+    if promo is not None:
+        # headline = the gate-passing promoted quant config
+        # (tools/quant_gate.json: fixed-seed image rel L2 vs bf16 beat
+        # GATE_REL_L2 on the sensitivity sweep — see BASELINE.md round 4);
+        # bf16 at the requested batch rides as the companion number.
+        q = bench_sampling(int(promo.get("batch", args.batch)),
+                           args.image_size, args.steps, args.sampler,
+                           args.quick, quantize=promo["mode"],
+                           quant_fp_head=int(promo.get("quant_fp_head", 0)),
+                           quant_fp_tail=int(promo.get("quant_fp_tail", 0)))
+        ptail = (f"+fp_head{promo['quant_fp_head']}"
+                 if promo.get("quant_fp_head") else "")
+        out = _line(q["samples_per_sec"],
+                    f"{args.image_size}px diffusion samples/sec/chip "
+                    f"({args.steps}-step {args.sampler.upper()}, "
+                    f"{promo['mode']}{ptail} — gate-passing, "
+                    f"rel_l2 {promo.get('rel_l2_25step')})")
+        out["quant_batch"] = q["batch_size"]
+        partial["out"] = dict(out)
         try:
-            q = bench_sampling(max(args.batch, 16), args.image_size,
-                               args.steps, args.sampler, args.quick,
-                               quantize="w8a8_static")
-            out["w8a8_static_value"] = round(q["samples_per_sec"], 4)
-            out["w8a8_batch"] = q["batch_size"]
+            b = bench_sampling(args.batch, args.image_size, args.steps,
+                               args.sampler, args.quick)
+            out["bf16_value"] = round(b["samples_per_sec"], 4)
+            out["bf16_batch"] = b["batch_size"]
         except Exception as e:  # never sink the headline metric
-            out["w8a8_static_error"] = f"{type(e).__name__}: {e}"[:200]
+            out["bf16_error"] = f"{type(e).__name__}: {e}"[:200]
+        partial["out"] = dict(out)
+    else:
+        result = bench_sampling(args.batch, args.image_size, args.steps,
+                                args.sampler, args.quick,
+                                quantize=args.quantize,
+                                quant_fp_head=args.quant_fp_head,
+                                quant_fp_tail=args.quant_fp_tail)
+        tail = ""
+        if args.quantize and args.quant_fp_head:
+            tail += f"+fp_head{args.quant_fp_head}"
+        if args.quantize and args.quant_fp_tail:
+            tail += f"+fp_tail{args.quant_fp_tail}"
+        out = _line(result["samples_per_sec"],
+                    f"{args.image_size}px diffusion samples/sec/chip "
+                    f"({args.steps}-step {args.sampler.upper()}"
+                    + (f", {args.quantize}{tail}" if args.quantize else "")
+                    + ")")
+        partial["out"] = dict(out)  # headline measured — a wedge keeps it
+        if args.quantize is None and not args.quick:
+            # no gate-passing quant config: bf16 is the parsed headline,
+            # best opt-in quant config (batch 16, round-2 sweep) rides as
+            # the companion.
+            try:
+                q = bench_sampling(max(args.batch, 16), args.image_size,
+                                   args.steps, args.sampler, args.quick,
+                                   quantize="w8a8_static")
+                out["w8a8_static_value"] = round(q["samples_per_sec"], 4)
+                out["w8a8_batch"] = q["batch_size"]
+            except Exception as e:  # never sink the headline metric
+                out["w8a8_static_error"] = f"{type(e).__name__}: {e}"[:200]
+            partial["out"] = dict(out)
+    if args.quantize is None and not args.quick:
+        # distilled-student companion: the post-roofline throughput lever
+        # (folded-CFG few-step DDIM — train/distill.py). Batch 16 is the
+        # measured sweet spot (folded 1× batch halves the per-launch work,
+        # so 16 restores the CFG-batch-8 compute shape — BASELINE.md r4).
+        try:
+            d8 = bench_distilled(16, args.image_size, 8, args.quick)
+            out["distilled_value"] = round(d8["samples_per_sec"], 4)
+            out["distilled_steps"] = 8
+            out["distilled_batch"] = d8["batch_size"]
+            out["distilled_vae_share"] = round(d8["vae_share"], 4)
+            d4 = bench_distilled(16, args.image_size, 4, args.quick)
+            out["distilled_4step_value"] = round(d4["samples_per_sec"], 4)
+            out["distilled_4step_vae_share"] = round(d4["vae_share"], 4)
+        except Exception as e:
+            out["distilled_error"] = f"{type(e).__name__}: {e}"[:200]
         partial["out"] = dict(out)
     if args.train:
         out["classifier_train_images_per_sec"] = round(

@@ -637,3 +637,35 @@ def test_calibration_folded_guidance_and_v_head():
         unet, params, sched_e, (2, 8, 8, 4), cond=ctx[:1], uncond=None,
         num_steps=3, dtype=jnp.float32)
     assert tables != tables_eps
+
+
+def test_promoted_quant_gate_contract():
+    """tools/quant_gate.json — the measured promotion verdict bench.py's
+    headline consults (round 4): the promoted config must actually pass the
+    gate it claims, with a fidelity number below GATE_REL_L2, and bench.py
+    must resolve it. Demotion is data (delete the file / flip gate_pass),
+    so this test pins the file's contract rather than any code default."""
+    import json
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    gate = json.loads((root / "tools" / "quant_gate.json").read_text())
+    sys.path.insert(0, str(root))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+
+    promo = bench._promoted_quant()
+    assert promo == gate["promoted"]
+    if promo is None:
+        return  # demoted: bf16 headline, nothing further to pin
+    assert promo["mode"] in ("w8a8", "w8a8_static")
+    # the claim must be internally consistent: measured rel L2 beats the gate
+    assert promo["rel_l2_25step"] < gate["gate_rel_l2"] == 0.05
+    # fp_tail is measured to have ZERO fidelity effect (BASELINE.md r4):
+    # a promoted config spending steps there would be throughput for nothing
+    assert promo.get("quant_fp_tail", 0) == 0
+    # promotion requires the throughput bar from the VERDICT criterion
+    assert promo["samples_per_sec_50step"] >= 7.5
