@@ -22,15 +22,18 @@ convention (ddim, spacing="trailing", steps_offset=0); `--generate N`
 additionally samples N images per class with the distilled student for a
 quick visual check.
 
-`--student_prediction_type` picks the student head. "v_prediction" (the
-paper's choice, default) needs `--reparam_steps` large enough that the
-ε→v warmup loss PLATEAUS — an under-trained head switch poisons every
-later phase (measured: a 16→4 distillation whose reparam stopped at loss
-0.045 sampled 20× worse than the teacher's own 4-step grid). "epsilon"
-keeps the teacher's head: the warm start is exact, phases converge in
-hundreds of steps, and the only cost is the ill-conditioned x̂₀ recovery
-at t ≈ T (benign until end_steps is very small or ᾱ_T ≈ 0 exactly).
-Short training budgets should prefer "epsilon".
+`--student_prediction_type` picks the student head. "epsilon" (default —
+the measured short-budget winner, BASELINE.md round-3 A/B) keeps the
+teacher's head: the warm start is exact, phases converge in hundreds of
+steps, and the only cost is the ill-conditioned x̂₀ recovery at t ≈ T
+(benign until end_steps is very small or ᾱ_T ≈ 0 exactly).
+"v_prediction" (the paper's choice, right at production budgets) needs
+its ε→v warmup loss to PLATEAU — an under-trained head switch poisons
+every later phase (measured: a 16→4 distillation whose reparam stopped
+at loss 0.045 sampled 20× worse than the teacher's own 4-step grid).
+Guard rails: `--reparam_steps -1` auto-scales the warmup to the phase
+budget, and train/distill.py `check_reparam_converged` fails loudly when
+the warmup has not plateaued.
 """
 
 from __future__ import annotations
@@ -76,14 +79,21 @@ def main(argv=None):
     parser.add_argument("--end_steps", type=int, default=25)
     parser.add_argument("--steps_per_phase", type=int, default=2000)
     parser.add_argument("--learning_rate", type=float, default=1e-4)
-    parser.add_argument("--reparam_steps", type=int, default=200,
-                        help="0-substep warmup for the ε→v head switch")
+    parser.add_argument("--reparam_steps", type=int, default=-1,
+                        help="0-substep warmup for the ε→v head switch; "
+                             "-1 auto-scales to --steps_per_phase (the "
+                             "warmup must PLATEAU — train/distill.py "
+                             "check_reparam_converged fails loudly if not)")
     parser.add_argument("--student_prediction_type", type=str,
-                        default="v_prediction",
+                        default="epsilon",
                         choices=["v_prediction", "epsilon"],
-                        help="student head (module docstring; 'epsilon' "
-                             "skips the reparam warmup and converges much "
-                             "faster on short budgets)")
+                        help="student head (module docstring). 'epsilon' "
+                             "(default) keeps the teacher's head: exact "
+                             "warm start, converges in hundreds of steps — "
+                             "the measured short-budget winner (BASELINE.md "
+                             "round-3 A/B). 'v_prediction' is the paper's "
+                             "choice for production budgets; its reparam "
+                             "warmup auto-scales and is convergence-checked")
     parser.add_argument("--generate", type=int, default=0,
                         help="sample N images per class with the distilled "
                              "student after the final phase")

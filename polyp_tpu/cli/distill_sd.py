@@ -87,12 +87,16 @@ def main(argv=None):
     parser.add_argument("--end_steps", type=int, default=10)
     parser.add_argument("--steps_per_phase", type=int, default=2000)
     parser.add_argument("--learning_rate", type=float, default=1e-4)
-    parser.add_argument("--reparam_steps", type=int, default=200)
+    parser.add_argument("--reparam_steps", type=int, default=-1,
+                        help="-1 auto-scales to --steps_per_phase; the "
+                             "warmup is convergence-checked "
+                             "(train/distill.py check_reparam_converged)")
     parser.add_argument("--student_prediction_type", type=str,
-                        default="v_prediction",
+                        default="epsilon",
                         choices=["v_prediction", "epsilon"],
-                        help="'epsilon' converges much faster on short "
-                             "budgets (cli/distill.py docstring)")
+                        help="'epsilon' (default) is the measured "
+                             "short-budget winner; 'v_prediction' for "
+                             "production budgets (cli/distill.py docstring)")
     parser.add_argument("--generate", type=int, default=0)
     parser.add_argument("--output-dir", type=str, default=None)
     args = parser.parse_args(argv)

@@ -26,11 +26,15 @@ Design notes (all jit-compatible, mesh-shardable like the other trainers):
   transition.
 * **v-prediction students.** One-step-from-noise x₀ recovery through an
   ε-head divides by α_t ≈ 0 at t ≈ T — the paper's reason to switch the
-  student to v (or x₀) parameterization. `student_prediction_type`
-  defaults to "v_prediction"; when it differs from the teacher's an
-  optional REPARAM warmup first trains the student head to reproduce the
-  teacher's own x̂₀ at the same t (0-substep distillation), giving the
-  phase a sane init from teacher weights.
+  student to v (or x₀) parameterization. When `student_prediction_type`
+  differs from the teacher's, a REPARAM warmup first trains the student
+  head to reproduce the teacher's own x̂₀ at the same t (0-substep
+  distillation), giving the phase a sane init from teacher weights.
+  `reparam_steps=-1` auto-scales the warmup to `steps_per_phase`, and
+  `check_reparam_converged` fails loudly when the warmup loss has not
+  plateaued — the measured failure mode (BASELINE.md round 3) is an
+  under-trained head switch compounding through every phase. The CLIs
+  default to "epsilon" (exact warm start) for short budgets.
 * **Truncated-SNR loss.** L = E[max(SNR(t), 1) · ‖x̂₀ − x̃₀‖²] (paper's
   recommended weighting), computed in f32.
 * **CFG folding.** `teacher_fn` is an arbitrary closure (x, t) → model_out:
@@ -210,6 +214,63 @@ def make_distill_step(student_apply: Callable[[Any, jax.Array, jax.Array], jax.A
     return step
 
 
+def check_reparam_converged(losses: list[float], min_steps: int = 50,
+                            plateau_ratio: float = 0.6,
+                            rel_err: float | None = None,
+                            rel_err_tol: float = 0.15) -> None:
+    """Fail loudly when the ε→v reparam warmup did not close the switch.
+
+    An under-trained head switch poisons every later phase (measured:
+    a 16→4 distillation whose reparam stopped at loss 4.5e-2 sampled 20×
+    WORSE than the teacher's own 4-step grid — BASELINE.md round 3), and
+    the failure is silent until sample time. Two criteria:
+
+    1. **Absolute closure** (`rel_err`): the student has the teacher's
+       exact capacity (same weights, different output head), so after the
+       warmup its x̂₀ must reproduce the teacher's x̂₀ on the phase grid —
+       measured rel L2 above `rel_err_tol` means the functional move did
+       not close, REGARDLESS of how flat the loss looks (a loss can
+       plateau at a bad value — measured: a 200-step warmup plateaued at
+       0.068 and the student sampled 4.5× worse than the teacher's grid).
+    2. **Plateau**: the mean loss of the last fifth of the warmup must not
+       still be dropping steeply (tail < plateau_ratio · previous-fifth)
+       — the budget-too-small signal.
+
+    Both criteria activate only at `min_steps`+ warmup steps — below that
+    the run is a smoke budget making no convergence claim (tiny CI budgets
+    are exempt by construction)."""
+    if len(losses) < min_steps:
+        return
+    if rel_err is not None and rel_err > rel_err_tol:
+        raise RuntimeError(
+            f"reparam warmup did not close the head switch: student x̂₀ vs "
+            f"teacher x̂₀ rel L2 {rel_err:.3f} > {rel_err_tol} after the "
+            f"warmup (the student has exact capacity for this target, so "
+            f"this is an optimization shortfall, not a ceiling). Distilling "
+            f"now compounds the error through every phase. Raise "
+            f"--reparam_steps / lower the learning rate, or use "
+            f"--student_prediction_type epsilon (exact warm start).")
+    k = max(len(losses) // 5, 10)
+    head = float(np.mean(losses[:k]))
+    tail = float(np.mean(losses[-k:]))
+    prev = float(np.mean(losses[-2 * k:-k]))
+    if tail <= 1e-3 * head:
+        # a ≥1000× drop from the initial loss is converged for practical
+        # purposes even if an exact-capacity student keeps descending
+        # geometrically toward zero (the ratio test alone is scale-free
+        # and would flag machine-precision convergence as "still moving")
+        return
+    if tail < plateau_ratio * prev:
+        raise RuntimeError(
+            f"reparam warmup has not converged: loss still dropping steeply "
+            f"at the end of the budget (last-{k} mean {tail:.3e} vs "
+            f"previous-{k} mean {prev:.3e}). Distilling from an un-closed "
+            f"head switch compounds through every phase. Raise "
+            f"--reparam_steps (or leave it at -1 to auto-scale to "
+            f"--steps_per_phase), or use --student_prediction_type epsilon "
+            f"(exact warm start, no warmup needed).")
+
+
 # ---------------------------------------------------------------------------
 # The phase loop
 # ---------------------------------------------------------------------------
@@ -238,8 +299,8 @@ def distill_progressive(
     steps_per_phase: int,
     learning_rate: float = 1e-4,
     weight_decay: float = 1e-2,
-    student_prediction_type: str = "v_prediction",
-    reparam_steps: int = 0,
+    student_prediction_type: str = "epsilon",
+    reparam_steps: int = -1,
     guidance_scale: float | None = None,
     cond: jax.Array | None = None,
     uncond: jax.Array | None = None,
@@ -266,6 +327,11 @@ def distill_progressive(
     if start_steps < end_steps or start_steps % end_steps != 0:
         raise ValueError(f"start_steps={start_steps} must be a multiple "
                          f"of end_steps={end_steps}")
+    if reparam_steps < 0:
+        # auto-scale: the head switch is a full functional move deserving
+        # the same budget as a distillation phase (an under-trained switch
+        # compounds through every phase — check_reparam_converged)
+        reparam_steps = steps_per_phase
     t_apply = teacher_apply_fn or apply_fn
 
     if guidance_scale is None:
@@ -322,25 +388,65 @@ def distill_progressive(
         phase_tparams = teacher_params if phase_idx == 0 else result.params
         warm_params = result.params
         if warmup:
-            # the warmup gets its OWN optimizer/schedule: sharing the phase
-            # optimizer would burn `warmup` steps of its cosine horizon and
-            # leave the tail of distillation training at lr ≈ 0
-            wtx = _make_tx(warmup)
+            # The warmup gets its OWN optimizer (sharing the phase optimizer
+            # would burn `warmup` steps of its cosine horizon and leave the
+            # tail of distillation training at lr ≈ 0) with a CONSTANT lr
+            # after the linear ramp — a decaying schedule forces the loss to
+            # flatten as lr → 0, which blinds check_reparam_converged (a
+            # measured failure: a 200-step cosine warmup "plateaued" at
+            # reparam loss 0.069 and the distilled student sampled 4.5×
+            # worse than the teacher's own grid). Under constant lr a
+            # plateau is a property of the optimization, not the schedule.
+            wtx = optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adamw(optax.join_schedules(
+                    [optax.linear_schedule(0.0, learning_rate,
+                                           max(warmup // 20, 1)),
+                     optax.constant_schedule(learning_rate)],
+                    [max(warmup // 20, 1)]), weight_decay=weight_decay))
             wstate = DistillState(step=jnp.zeros((), jnp.int32),
                                   params=warm_params,
                                   opt_state=wtx.init(warm_params), tx=wtx)
             warm_step = make_distill_step(student_apply, phase_teacher,
                                           teacher_sched, student_sched,
                                           grid, reparam=True)
-            done = 0
+            done, wlosses = 0, []
             while done < warmup:
                 for x0 in batches():
                     if done >= warmup:
                         break
                     key = jax.random.fold_in(jax.random.PRNGKey(17), done)
-                    wstate, _ = warm_step(wstate, phase_tparams, x0, key)
+                    wstate, wloss = warm_step(wstate, phase_tparams, x0, key)
+                    wlosses.append(float(wloss))
                     done += 1
             warm_params = wstate.params
+
+            # absolute closure measurement for the guard: student x̂₀ vs
+            # teacher x̂₀ on one batch over the phase grid (fixed key)
+            @jax.jit
+            def _reparam_rel_err(params, tparams, x0):
+                k1, k2 = jax.random.split(jax.random.PRNGKey(41))
+                n = x0.shape[0]
+                idx = jax.random.randint(k2, (n,), 0, grid.num_steps)
+                t = grid.ts[idx]
+                noise = jax.random.normal(k1, x0.shape, jnp.float32)
+                x_t = teacher_sched.add_noise(x0, noise, t)
+                t_x0 = teacher_sched.to_x0_eps(
+                    phase_teacher(tparams, x_t, t), x_t, t)[0]
+                s_x0 = student_sched.to_x0_eps(
+                    student_apply(params, x_t, t), x_t, t)[0]
+                t_x0 = t_x0.astype(jnp.float32)
+                s_x0 = s_x0.astype(jnp.float32)
+                return (jnp.linalg.norm(s_x0 - t_x0)
+                        / (jnp.linalg.norm(t_x0) + 1e-8))
+
+            x0_probe = next(iter(batches()))
+            rel_err = float(_reparam_rel_err(warm_params, phase_tparams,
+                                             x0_probe))
+            if log:
+                log("reparam_loss", float(np.mean(wlosses[-20:])), 0)
+                log("reparam_rel_err", rel_err, 0)
+            check_reparam_converged(wlosses, rel_err=rel_err)
 
         tx = _make_tx(steps_per_phase)
         state = DistillState(step=jnp.zeros((), jnp.int32),

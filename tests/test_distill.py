@@ -241,6 +241,7 @@ class TestSDPathIntegration:
         result = distill_progressive(
             apply_fn, params, sched, batches, start_steps=8, end_steps=4,
             steps_per_phase=60, learning_rate=3e-3, weight_decay=0.0,
+            student_prediction_type="v_prediction",
             reparam_steps=30, guidance_scale=4.0, cond=cond, uncond=uncond)
         assert result.num_steps == 4
         assert result.prediction_type == "v_prediction"
@@ -360,3 +361,55 @@ class TestDistillOnMesh:
         _, loss_sh = step(state, None, x0_sh, jax.random.PRNGKey(7))
         np.testing.assert_allclose(float(loss_sh), float(loss_plain),
                                    rtol=1e-5)
+
+
+class TestReparamGuard:
+    """check_reparam_converged — the loud-failure guard for the ε→v head
+    switch (the measured round-3 failure mode: an under-trained warmup
+    compounds through every phase)."""
+
+    def test_plateaued_warmup_passes(self):
+        from polyp_tpu.train.distill import check_reparam_converged
+        # geometric descent that flattens well before the end
+        losses = [1e-1 * (0.8 ** i) for i in range(60)] + [2e-6] * 60
+        check_reparam_converged(losses)  # no raise
+
+    def test_still_descending_raises(self):
+        from polyp_tpu.train.distill import check_reparam_converged
+        # steady geometric descent to the last step: NOT converged
+        losses = [1e-1 * (0.93 ** i) for i in range(100)]
+        with pytest.raises(RuntimeError, match="reparam warmup"):
+            check_reparam_converged(losses)
+
+    def test_tiny_budgets_exempt(self):
+        from polyp_tpu.train.distill import check_reparam_converged
+        # below min_steps there is no plateau signal — smoke budgets pass
+        check_reparam_converged([1e-1 * (0.5 ** i) for i in range(20)])
+
+    def test_auto_reparam_scales_to_phase_budget(self):
+        """reparam_steps=-1 gives the head switch the full phase budget
+        (and the resulting warmup converges on the analytic teacher)."""
+        T = 64
+        sched = DiffusionSchedule.create(T)
+        teacher = _analytic_eps(0.3, 0.05)
+        teacher.sched = sched
+        params, apply_fn = _affine_student(T)
+        data = 0.3 + jnp.sqrt(0.05) * jax.random.normal(
+            jax.random.PRNGKey(5), (32, 4, 4, 1))
+
+        def batches():
+            return [data[i:i + 16] for i in range(0, 32, 16)]
+
+        logged = {}
+        result = distill_progressive(
+            apply_fn, None, sched, batches, start_steps=8, end_steps=4,
+            steps_per_phase=200, learning_rate=0.05, weight_decay=0.0,
+            student_prediction_type="v_prediction", reparam_steps=-1,
+            teacher_apply_fn=teacher, student_params=params,
+            log=lambda k, v, s: logged.setdefault(k, v))
+        assert result.num_steps == 4
+        # the auto-scaled warmup ran (a reparam loss was logged, i.e.
+        # reparam_steps=-1 resolved to steps_per_phase > 0) and the run
+        # passed the convergence guard without raising
+        assert "reparam_loss" in logged
+        assert np.isfinite(logged["reparam_loss"])
