@@ -168,7 +168,8 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
 
 def bench_distilled(batch_size: int, image_size: int, steps: int,
                     quick: bool = False, repeats: int = 3,
-                    quantize: str | None = None) -> dict:
+                    quantize: str | None = None,
+                    quantize_vae: bool = False) -> dict:
     """Folded-guidance few-step sampling — the distilled-student serving
     path (train/distill.py + cli/distill_sd.py): cond-only UNet at 1× batch
     (no CFG doubling), N-step trailing DDIM, VAE decode per image.
@@ -224,15 +225,24 @@ def bench_distilled(batch_size: int, image_size: int, steps: int,
                       (batch_size, latent, latent, 4), key, steps,
                       spacing="trailing", steps_offset=0)
 
+    vae_mode = "w8a8" if quantize_vae else None
+
+    def _decode(vparams, z, mode):
+        # the VAE decode is the few-step Amdahl term (module docstring);
+        # mode="w8a8" routes its ResnetBlock2D convs through QConv with
+        # dynamic per-tensor activation scales (no timestep dependence, so
+        # no calibration needed)
+        with quant.override(mode):
+            return vae.apply(vparams, z.astype(dtype) / 0.18215,
+                             method=vae.decode)
+
     @jax.jit
     def generate(uparams, vparams, cond, key):
         latents = denoise(uparams, cond, key)
-        return vae.apply(vparams, latents.astype(dtype) / 0.18215,
-                         method=vae.decode)
+        return _decode(vparams, latents, vae_mode)
 
     unet_only = jax.jit(denoise)
-    decode_only = jax.jit(lambda vparams, z: vae.apply(
-        vparams, z.astype(dtype) / 0.18215, method=vae.decode))
+    decode_only = jax.jit(lambda vparams, z: _decode(vparams, z, vae_mode))
 
     def timed(fn, *args, n=repeats) -> float:
         out = fn(*args)  # compile + warmup
@@ -250,7 +260,7 @@ def bench_distilled(batch_size: int, image_size: int, steps: int,
     unet_s = timed(unet_only, uparams, cond, key)
     z = jax.random.normal(key, (batch_size, latent, latent, 4), dtype)
     vae_s = timed(decode_only, vparams, z * 0.18215)
-    return {
+    out = {
         "samples_per_sec": batch_size / e2e,
         "sec_per_batch": e2e,
         "unet_scan_sec": unet_s,
@@ -259,6 +269,14 @@ def bench_distilled(batch_size: int, image_size: int, steps: int,
         "batch_size": batch_size,
         "steps": steps,
     }
+    if quantize_vae:
+        # fidelity of the int8 decoder on the same latents, vs bf16 decode
+        ref = np.asarray(jax.jit(lambda vp, zz: _decode(vp, zz, None))(
+            vparams, z * 0.18215), np.float32)
+        got = np.asarray(decode_only(vparams, z * 0.18215), np.float32)
+        out["vae_q_rel_l2"] = float(np.linalg.norm(got - ref)
+                                    / np.linalg.norm(ref))
+    return out
 
 
 def bench_classifier_train(batch_size: int = 16, image_size: int = 224,
@@ -430,6 +448,10 @@ def main():
                              "folded-guidance (cond-only, 1x batch) "
                              "STEPS-step trailing DDIM + VAE decode "
                              "(bench_distilled; composes with --quantize)")
+    parser.add_argument("--quantize-vae", action="store_true",
+                        help="with --distilled: w8a8 the VAE decoder too "
+                             "(the few-step Amdahl term; reports int8 "
+                             "decode fidelity as vae_q_rel_l2)")
     parser.add_argument("--watchdog", type=int, default=3600,
                         help="fail loudly if the run has not finished "
                              "within N seconds total (0 disables)")
@@ -442,11 +464,13 @@ def main():
 
     if args.distilled:
         d = bench_distilled(args.batch, args.image_size, args.distilled,
-                            args.quick, quantize=args.quantize)
+                            args.quick, quantize=args.quantize,
+                            quantize_vae=args.quantize_vae)
         out = {
             "metric": f"{args.image_size}px distilled samples/sec/chip "
                       f"({args.distilled}-step folded-CFG DDIM"
-                      + (f", {args.quantize}" if args.quantize else "") + ")",
+                      + (f", {args.quantize}" if args.quantize else "")
+                      + (", w8a8-vae" if args.quantize_vae else "") + ")",
             "value": round(d["samples_per_sec"], 4),
             "unit": "samples/sec/chip",
             "vs_baseline": round(d["samples_per_sec"]
@@ -457,6 +481,8 @@ def main():
             "vae_decode_sec": round(d["vae_decode_sec"], 4),
             "vae_share": round(d["vae_share"], 4),
         }
+        if "vae_q_rel_l2" in d:
+            out["vae_q_rel_l2"] = round(d["vae_q_rel_l2"], 4)
         if watchdog is not None:
             watchdog.set()
         print(json.dumps(out))
@@ -538,17 +564,20 @@ def main():
             partial["out"] = dict(out)
     if args.quantize is None and not args.quick:
         # distilled-student companion: the post-roofline throughput lever
-        # (folded-CFG few-step DDIM — train/distill.py). Batch 16 is the
-        # measured sweet spot (folded 1× batch halves the per-launch work,
-        # so 16 restores the CFG-batch-8 compute shape — BASELINE.md r4).
+        # (folded-CFG few-step DDIM — train/distill.py). Measured batch
+        # sweet spots (BASELINE.md round-4 sweep): 8-step peaks at batch 16
+        # (54.8 > 47.6 at batch 8), 4-step at batch 32 (86.2 > 80.3 at 16)
+        # — fewer steps per launch leave more room before the intra-op
+        # bound, so the optimum grows as steps shrink.
         try:
             d8 = bench_distilled(16, args.image_size, 8, args.quick)
             out["distilled_value"] = round(d8["samples_per_sec"], 4)
             out["distilled_steps"] = 8
             out["distilled_batch"] = d8["batch_size"]
             out["distilled_vae_share"] = round(d8["vae_share"], 4)
-            d4 = bench_distilled(16, args.image_size, 4, args.quick)
+            d4 = bench_distilled(32, args.image_size, 4, args.quick)
             out["distilled_4step_value"] = round(d4["samples_per_sec"], 4)
+            out["distilled_4step_batch"] = d4["batch_size"]
             out["distilled_4step_vae_share"] = round(d4["vae_share"], 4)
         except Exception as e:
             out["distilled_error"] = f"{type(e).__name__}: {e}"[:200]

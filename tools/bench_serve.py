@@ -72,6 +72,55 @@ def percentile(sorted_vals: list[float], q: float) -> float:
     return sorted_vals[idx]
 
 
+def run_multimodel_load(service: GenerationService, duration: float,
+                        assignments: list[tuple[str, str]]) -> dict:
+    """Closed-loop load with per-client (model, prompt) routing — the
+    multi-model fairness measurement: per-model throughput and latency
+    percentiles under whatever client mix `assignments` encodes (e.g. a
+    burst: most clients on one model, one client each on the others)."""
+    per_model: dict[str, list[float]] = {m: [] for m, _ in assignments}
+    lock = threading.Lock()
+    stop = time.monotonic() + duration
+    launches_before = dict(service.stats["launches_by_model"])
+
+    def client(cid: int, model: str, prompt: str) -> None:
+        n = 0
+        while time.monotonic() < stop:
+            t0 = time.perf_counter()
+            service.generate(prompt, 1, seed=cid * 100003 + n, model=model)
+            dt = time.perf_counter() - t0
+            n += 1
+            with lock:
+                per_model[model].append(dt)
+
+    t_start = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(c, m, p))
+               for c, (m, p) in enumerate(assignments)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t_start
+    out: dict = {"duration_s": round(elapsed, 2),
+                 "clients_by_model": {}, "per_model": {}}
+    for m, _ in assignments:
+        out["clients_by_model"][m] = out["clients_by_model"].get(m, 0) + 1
+    total = 0
+    for m, lats in per_model.items():
+        lats.sort()
+        total += len(lats)
+        out["per_model"][m] = {
+            "requests": len(lats),
+            "throughput_samples_per_s": round(len(lats) / elapsed, 3),
+            "p50_s": round(percentile(lats, 0.50), 3),
+            "p95_s": round(percentile(lats, 0.95), 3),
+            "launches": service.stats["launches_by_model"][m]
+                        - launches_before.get(m, 0),
+        }
+    out["throughput_samples_per_s"] = round(total / elapsed, 3)
+    return out
+
+
 def run_load(service: GenerationService, clients: int, duration: float,
              http_port: int | None = None,
              prompts: list[str] = PROMPTS) -> dict:
@@ -158,6 +207,55 @@ def build_batch_sampler(args, max_batch: int):
     return batch_sampler
 
 
+def run_multimodel_bench(args) -> None:
+    """Multi-model distilled serving: host every distilled_{cls} student
+    behind one chip (serve.py multi-model routing) and measure (a) a mixed
+    even load and (b) a BURST on one model with single clients on the
+    others — the fairness scenario: the dispatcher drains models in
+    arrival order, so the burst must not starve the quiet models."""
+    from pathlib import Path
+
+    from polyp_tpu.cli.distill_sd import load_student_sampler
+
+    stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
+    config = DiffusionConfig(image_size=args.image_size,
+                             num_inference_steps=args.steps,
+                             quantize=args.quantize)
+    models_dir = Path(args.distilled_dir) / "models"
+    classes = sorted(p.name.split("distilled_", 1)[1]
+                     for p in models_dir.glob("distilled_*") if p.is_dir())
+    if not classes:
+        raise FileNotFoundError(f"no distilled_* under {models_dir}")
+    samplers, prompts_by = {}, {}
+    for cls in classes:
+        print(f"# loading student {cls}", file=sys.stderr)
+        s = load_student_sampler(stack, args.distilled_dir, cls, config)
+        samplers[cls] = (lambda prompts, keys, _s=s:
+                         _s.generate_batch(prompts, keys,
+                                           pad_to=args.max_batch))
+        prompts_by[cls] = json.loads(
+            (models_dir / f"distilled_{cls}_meta.json").read_text())["prompt"]
+    service = GenerationService(samplers, args.max_batch,
+                                batch_window_s=args.batch_window_ms / 1e3)
+    for cls in classes:  # compile+warm each student outside the window
+        service.generate(prompts_by[cls], 1, seed=0, model=cls)
+
+    mixed = [(classes[i % len(classes)],
+              prompts_by[classes[i % len(classes)]])
+             for i in range(args.clients)]
+    stats = run_multimodel_load(service, args.duration, mixed)
+    stats["scenario"] = "mixed"
+    print(json.dumps(stats))
+
+    burst_n = max(args.clients - (len(classes) - 1), 1)
+    burst = ([(classes[0], prompts_by[classes[0]])] * burst_n
+             + [(c, prompts_by[c]) for c in classes[1:]])
+    stats = run_multimodel_load(service, args.duration, burst)
+    stats["scenario"] = f"burst:{classes[0]}x{burst_n}"
+    print(json.dumps(stats))
+    service.close()
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--pretrained-dir", default=None)
@@ -179,6 +277,9 @@ def main(argv=None) -> None:
     parser.add_argument("--skip_solo", action="store_true",
                         help="skip the max_batch=1 no-coalescing baseline")
     args = parser.parse_args(argv)
+
+    if args.distilled_dir is not None and args.distilled_class == "all":
+        return run_multimodel_bench(args)
 
     prompts = PROMPTS
     if args.distilled_dir is not None:
