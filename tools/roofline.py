@@ -111,13 +111,16 @@ def bench_attention(batch_heads: int, tokens: int, head_dim: int = 64) -> dict:
             "tflops": round(flops / sec / 1e12, 1)}
 
 
-def unet_step_analysis(batch: int, image_size: int) -> dict:
-    """Analytic totals of ONE CFG UNet forward via XLA cost analysis."""
+def unet_step_analysis(batch: int, image_size: int,
+                       cfg: bool = True) -> dict:
+    """Analytic totals of ONE UNet forward via XLA cost analysis
+    (cfg=True doubles the batch — the guided path; cfg=False is the
+    folded-guidance 1× batch of a distilled student)."""
     from polyp_tpu.models import sd14_unet
 
     unet = sd14_unet(dtype=jnp.bfloat16)
     latent = image_size // 8
-    cfg_batch = 2 * batch
+    cfg_batch = 2 * batch if cfg else batch
     x = jnp.zeros((cfg_batch, latent, latent, 4), jnp.bfloat16)
     t = jnp.zeros((cfg_batch,), jnp.int32)
     ctx = jnp.zeros((cfg_batch, 77, 768), jnp.bfloat16)
@@ -132,6 +135,106 @@ def unet_step_analysis(batch: int, image_size: int) -> dict:
     cost = lowered.compile().cost_analysis()
     return {"flops": float(cost.get("flops", float("nan"))),
             "bytes": float(cost.get("bytes accessed", float("nan")))}
+
+
+def vae_decode_analysis(batch: int, image_size: int,
+                        iters: int = 20) -> dict:
+    """VAE-decode cost analysis + measured device time — the few-step
+    Amdahl term: at 50 steps decode is a few % of a sample; at 4 folded
+    steps the same decode competes with the whole UNet scan."""
+    from polyp_tpu.models import AutoencoderKL
+
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    latent = image_size // 8
+    z = jax.random.normal(jax.random.PRNGKey(0),
+                          (batch, latent, latent, 4), jnp.bfloat16)
+    vparams = jax.jit(vae.init)(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16),
+        jax.random.PRNGKey(0))
+
+    def decode(vparams, z):
+        return vae.apply(vparams, z, method=vae.decode)
+
+    lowered = jax.jit(decode).lower(vparams, z)
+    cost = lowered.compile().cost_analysis()
+
+    # chained timing: feed a data-dependent perturbation of the same z back
+    # in so XLA cannot CSE the iterations, one sync per rep (time_op note)
+    @jax.jit
+    def chained(vparams, z):
+        def body(i, carry):
+            img = decode(vparams, carry)
+            return z + (1e-12 * jnp.mean(img.astype(jnp.float32))
+                        ).astype(z.dtype)
+        return jax.lax.fori_loop(0, iters, body, z)
+
+    _sync(chained(vparams, z))  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(chained(vparams, z))
+        best = min(best, time.perf_counter() - t0)
+    sec = best / iters
+    flops = float(cost.get("flops", float("nan")))
+    return {"ms": round(sec * 1e3, 2),
+            "flops": flops,
+            "bytes": float(cost.get("bytes accessed", float("nan"))),
+            "tflops": round(flops / sec / 1e12, 1),
+            "batch": batch}
+
+
+def run_fewstep(batch: int, image_size: int,
+                step_counts=(4, 8, 25)) -> dict:
+    """Roofline for FOLDED-guidance few-step sampling (distilled students):
+    per-sample cost = steps × (1×-batch UNet step) + VAE decode. Reports
+    analytic floors, the implied ceiling per step count, and the measured
+    decode share."""
+    report: dict = {"batch": batch, "image_size": image_size,
+                    "mode": "folded_cfg_1x_batch"}
+    analysis = unet_step_analysis(batch, image_size, cfg=False)
+    report["unet_1x_step"] = analysis
+    print(f"# unet 1x step analysis: {analysis}", flush=True)
+
+    # measured 1×-batch conv rate proxy: reuse the CFG-batch measurements
+    # at half batch (same shape classes, batch halved)
+    convs = {}
+    for spatial, c in LEVELS:
+        key = f"{spatial}x{spatial}x{c}"
+        convs[key] = bench_conv(batch, spatial, c, jnp.bfloat16)
+        print(f"# conv(1x) {key}: {convs[key]}", flush=True)
+    report["conv_rates_1x"] = convs
+    best_bf16 = max(v["tflops"] for v in convs.values())
+
+    vae = vae_decode_analysis(batch, image_size)
+    report["vae_decode"] = vae
+    print(f"# vae decode: {vae}", flush=True)
+
+    flop_floor_ms = analysis["flops"] / (best_bf16 * 1e12) * 1e3
+    mem_floor_ms = analysis["bytes"] / (HBM_GBPS * 1e9) * 1e3
+    step_floor_ms = max(flop_floor_ms, mem_floor_ms)
+    vae_floor_ms = max(vae["flops"] / (best_bf16 * 1e12) * 1e3,
+                       vae["bytes"] / (HBM_GBPS * 1e9) * 1e3)
+    report["floors_ms"] = {
+        "unet_1x_step_flops": round(flop_floor_ms, 2),
+        "unet_1x_step_bytes": round(mem_floor_ms, 2),
+        "vae_decode_floor": round(vae_floor_ms, 2),
+        "vae_decode_measured": vae["ms"],
+    }
+    ceilings = {}
+    for n in step_counts:
+        floor_total_ms = n * step_floor_ms + vae_floor_ms
+        meas_total_ms = n * step_floor_ms + vae["ms"]
+        ceilings[str(n)] = {
+            "samples_per_sec_analytic": round(
+                batch / (floor_total_ms / 1e3), 2),
+            "samples_per_sec_meas_decode": round(
+                batch / (meas_total_ms / 1e3), 2),
+            "vae_share_at_floor": round(
+                vae["ms"] / (n * step_floor_ms + vae["ms"]), 3),
+        }
+    report["fewstep_ceilings"] = ceilings
+    return report
 
 
 def run(batch: int, steps: int, image_size: int,
@@ -200,8 +303,15 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--few-step", action="store_true",
+                    help="roofline for folded-guidance few-step sampling "
+                         "(distilled students): 1x-batch UNet step + VAE "
+                         "decode Amdahl term (run_fewstep)")
     args = ap.parse_args()
-    print(json.dumps(run(args.batch, args.steps, args.image_size)))
+    if args.few_step:
+        print(json.dumps(run_fewstep(args.batch, args.image_size)))
+    else:
+        print(json.dumps(run(args.batch, args.steps, args.image_size)))
 
 
 if __name__ == "__main__":
