@@ -1,6 +1,7 @@
 # Test tiers (VERDICT r1 item 5). Timings measured on this 1-core host with
-# a warm JAX compilation cache (/tmp/jax_cache_tests); 318 tests total
-# (239 fast / 78 slow, incl. the 2 mlflow skips) as of round 3. NOTE: without `pip install -e .[dev]`
+# a warm JAX compilation cache (/tmp/jax_cache_tests); 350 tests total
+# (262 fast / 88 slow, incl. the 2 mlflow skips) as of round 4 — verify with
+# `pytest --collect-only -q`. NOTE: without `pip install -e .[dev]`
 # (mlflow) each tier reports exactly 1 skip — tests/test_tracker_mlflow.py,
 # the mlflow backend's end-to-end file-store tests; install the dev extra to
 # run them (the JSONL tracker backend is tested unconditionally):
@@ -13,6 +14,7 @@
 PY ?= python
 
 test-fast:
+	@echo "note: tests/test_tracker_mlflow.py skips unless mlflow is installed (pip install -e .[dev])"
 	$(PY) -m pytest tests/ -q -m "not slow"
 
 test-slow:

@@ -276,6 +276,28 @@ def bench_distilled(batch_size: int, image_size: int, steps: int,
         got = np.asarray(decode_only(vparams, z * 0.18215), np.float32)
         out["vae_q_rel_l2"] = float(np.linalg.norm(got - ref)
                                     / np.linalg.norm(ref))
+    if quantize is not None:
+        # fidelity of the quantized few-step UNet trajectory: fixed-key
+        # images vs the bf16 trajectory (same bf16 decode on both sides)
+        def make_gen(q):  # q is trace-time (quant.override is contextual)
+            @jax.jit
+            def gen(uparams, vparams, cond, key):
+                def raw(zz, tt, emb):
+                    with quant.override(q, scales=scales, t=tt):
+                        return unet.apply({"params": uparams}, zz, tt, emb)
+                latents = sample("ddim", with_cfg(raw, cond, None, None),
+                                 schedule, (batch_size, latent, latent, 4),
+                                 key, steps,
+                                 spacing="trailing", steps_offset=0)
+                return _decode(vparams, latents, None)
+            return gen
+
+        ref = np.asarray(make_gen(None)(uparams, vparams, cond, key),
+                         np.float32)
+        got = np.asarray(make_gen(quantize)(uparams, vparams, cond, key),
+                         np.float32)
+        out["quant_rel_l2"] = float(np.linalg.norm(got - ref)
+                                    / np.linalg.norm(ref))
     return out
 
 
@@ -483,6 +505,8 @@ def main():
         }
         if "vae_q_rel_l2" in d:
             out["vae_q_rel_l2"] = round(d["vae_q_rel_l2"], 4)
+        if "quant_rel_l2" in d:
+            out["quant_rel_l2"] = round(d["quant_rel_l2"], 4)
         if watchdog is not None:
             watchdog.set()
         print(json.dumps(out))

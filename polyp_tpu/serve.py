@@ -313,6 +313,15 @@ def main(argv=None):
                         choices=["w8a8", "w8a8_static"],
                         help="W8A8 UNet sampling (ops/quant.py); _static "
                              "calibrates per-timestep scales on first use")
+    parser.add_argument("--quant-fp-head", type=int, default=0,
+                        help="with --quantize: first N sampling steps in "
+                             "full precision (the gate-passing promoted "
+                             "config is w8a8_static + fp_head 5 — "
+                             "tools/quant_gate.json, BASELINE.md round 4)")
+    parser.add_argument("--quant-fp-tail", type=int, default=0,
+                        help="with --quantize: final N steps full precision "
+                             "(measured: no fidelity effect; kept for "
+                             "experimentation)")
     parser.add_argument("--distilled-dir", default=None,
                         help="serve a polyp-distill-sd output instead of "
                              "the base stack: few-step trailing-grid DDIM, "
@@ -327,7 +336,9 @@ def main(argv=None):
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
     config = DiffusionConfig(image_size=args.image_size,
                              num_inference_steps=args.steps,
-                             quantize=args.quantize)
+                             quantize=args.quantize,
+                             quant_fp_head=args.quant_fp_head,
+                             quant_fp_tail=args.quant_fp_tail)
 
     def as_batch_sampler(s):
         # pad_to=max_batch: every launch shares one compiled executable

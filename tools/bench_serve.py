@@ -189,7 +189,9 @@ def build_batch_sampler(args, max_batch: int):
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
     config = DiffusionConfig(image_size=args.image_size,
                              num_inference_steps=args.steps,
-                             quantize=args.quantize)
+                             quantize=args.quantize,
+                             quant_fp_head=args.quant_fp_head,
+                             quant_fp_tail=args.quant_fp_tail)
     if args.distilled_dir is not None:
         # distilled-student serving: few-step trailing DDIM, folded
         # guidance (cond-only 1× batch) — the step-count × CFG-halving
@@ -220,7 +222,9 @@ def run_multimodel_bench(args) -> None:
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
     config = DiffusionConfig(image_size=args.image_size,
                              num_inference_steps=args.steps,
-                             quantize=args.quantize)
+                             quantize=args.quantize,
+                             quant_fp_head=args.quant_fp_head,
+                             quant_fp_tail=args.quant_fp_tail)
     models_dir = Path(args.distilled_dir) / "models"
     classes = sorted(p.name.split("distilled_", 1)[1]
                      for p in models_dir.glob("distilled_*") if p.is_dir())
@@ -268,6 +272,11 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_window_ms", type=float, default=50.0)
     parser.add_argument("--quantize", default=None,
                         choices=["w8a8", "w8a8_static"])
+    parser.add_argument("--quant-fp-head", type=int, default=0,
+                        help="with --quantize: first N steps full precision"
+                             " (promoted gate-passing config: w8a8_static"
+                             " + fp_head 5)")
+    parser.add_argument("--quant-fp-tail", type=int, default=0)
     parser.add_argument("--distilled-dir", default=None,
                         help="bench a polyp-distill-sd student instead of "
                              "the base sampler")
@@ -318,6 +327,9 @@ def main(argv=None) -> None:
         stats["image_size"] = args.image_size
         stats["steps"] = args.steps
         stats["quantize"] = args.quantize
+        if args.quant_fp_head or args.quant_fp_tail:
+            stats["quant_fp_head"] = args.quant_fp_head
+            stats["quant_fp_tail"] = args.quant_fp_tail
         if args.distilled_dir is not None:
             stats["distilled"] = args.distilled_class
         results.append(stats)
