@@ -46,17 +46,15 @@ def _reference_baseline() -> tuple[float, int]:
 
 
 def _promoted_quant() -> dict | None:
-    """The gate-passing quant config, if one exists (tools/quant_gate.json —
-    vendored from the measured tools/quant_sensitivity.py sweep). The bench
-    headline uses it when `gate_pass` is true; bf16 becomes the companion.
-    Deleting the file (or flipping gate_pass) demotes the headline back to
-    bf16 — the promotion is data, not code."""
-    import pathlib
-
-    p = pathlib.Path(__file__).parent / "tools" / "quant_gate.json"
+    """The gate-passing quant config, if one exists (package data
+    polyp_tpu/ops/quant_gate.json — vendored from the measured
+    tools/quant_sensitivity.py sweep). The bench headline uses it when
+    `gate_pass` is true; bf16 becomes the companion. Deleting the file (or
+    flipping gate_pass) demotes the headline back to bf16 — the promotion
+    is data, not code."""
     try:
-        promo = json.loads(p.read_text())["promoted"]
-        return promo if promo.get("gate_pass") else None
+        from polyp_tpu.ops.quant import promoted_config
+        return promoted_config()
     except Exception:
         return None
 
@@ -531,7 +529,7 @@ def main():
              if args.quantize is None and not args.quick else None)
     if promo is not None:
         # headline = the gate-passing promoted quant config
-        # (tools/quant_gate.json: fixed-seed image rel L2 vs bf16 beat
+        # (polyp_tpu/ops/quant_gate.json: fixed-seed image rel L2 vs bf16 beat
         # GATE_REL_L2 on the sensitivity sweep — see BASELINE.md round 4);
         # bf16 at the requested batch rides as the companion number.
         q = bench_sampling(int(promo.get("batch", args.batch)),
@@ -592,17 +590,36 @@ def main():
         # sweet spots (BASELINE.md round-4 sweep): 8-step peaks at batch 16
         # (54.8 > 47.6 at batch 8), 4-step at batch 32 (86.2 > 80.3 at 16)
         # — fewer steps per launch leave more room before the intra-op
-        # bound, so the optimum grows as steps shrink.
+        # bound, so the optimum grows as steps shrink. When a gate-passing
+        # distilled quant verdict exists (quant_gate.json
+        # promoted_distilled — pure w8a8_static, rel L2 0.026/0.034, the
+        # short trajectory doesn't accumulate int8 drift), the companions
+        # run it and carry the fidelity numbers on the line.
         try:
-            d8 = bench_distilled(16, args.image_size, 8, args.quick)
+            dq = None
+            try:
+                from polyp_tpu.ops.quant import promoted_config
+                dq = promoted_config(distilled=True)
+            except Exception:
+                pass
+            mode = dq["mode"] if dq else None
+            d8 = bench_distilled(16, args.image_size, 8, args.quick,
+                                 quantize=mode)
             out["distilled_value"] = round(d8["samples_per_sec"], 4)
             out["distilled_steps"] = 8
             out["distilled_batch"] = d8["batch_size"]
             out["distilled_vae_share"] = round(d8["vae_share"], 4)
-            d4 = bench_distilled(32, args.image_size, 4, args.quick)
+            if mode:
+                out["distilled_quantize"] = mode
+                out["distilled_quant_rel_l2"] = round(d8["quant_rel_l2"], 4)
+            d4 = bench_distilled(32, args.image_size, 4, args.quick,
+                                 quantize=mode)
             out["distilled_4step_value"] = round(d4["samples_per_sec"], 4)
             out["distilled_4step_batch"] = d4["batch_size"]
             out["distilled_4step_vae_share"] = round(d4["vae_share"], 4)
+            if mode:
+                out["distilled_4step_quant_rel_l2"] = round(
+                    d4["quant_rel_l2"], 4)
         except Exception as e:
             out["distilled_error"] = f"{type(e).__name__}: {e}"[:200]
         partial["out"] = dict(out)

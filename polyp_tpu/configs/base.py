@@ -78,6 +78,20 @@ class DiffusionConfig:
     quant_fp_head: int = 0
     quant_fp_tail: int = 0
 
+    def __post_init__(self):
+        # quantize="promoted" expands to the gate-passing config recorded
+        # in package data (ops/quant.py::promoted_config — the measured
+        # tools/quant_sensitivity.py verdict), so EVERY entry point that
+        # builds a DiffusionConfig understands it uniformly. Explicit
+        # modes pass through untouched; raises if nothing passes the gate.
+        if self.quantize == "promoted":
+            from polyp_tpu.ops.quant import resolve_quantize_arg
+            mode, head, tail = resolve_quantize_arg(
+                "promoted", self.quant_fp_head, self.quant_fp_tail)
+            object.__setattr__(self, "quantize", mode)
+            object.__setattr__(self, "quant_fp_head", head)
+            object.__setattr__(self, "quant_fp_tail", tail)
+
     # LoRA
     lora_rank: int = 8
     lora_alpha: float | None = None  # None → = lora_rank (reference parity)

@@ -82,6 +82,57 @@ MIN_QUANT_CHANNELS = 64
 AMAX_SUFFIX = "/act_amax"  # sow name for calibration stats
 
 
+def promoted_config(distilled: bool = False) -> dict | None:
+    """The gate-passing quantization config, if one exists.
+
+    `quant_gate.json` (package data, next to this module) vendors the
+    measured go/no-go verdicts of tools/quant_sensitivity.py and the
+    distilled-path fidelity probe (bench.py quant_rel_l2): a quant mode
+    is promoted only when its fixed-seed image rel L2 vs bf16 beats
+    GATE_REL_L2 AND it clears the throughput bar (BASELINE.md round-4
+    quant gate). Two operating points carry separate verdicts —
+    `promoted` for full-trajectory CFG sampling (25/50 steps; needs a
+    bf16 head) and `promoted_distilled` for few-step folded-guidance
+    sampling (the short trajectory quantizes cleanly with no head).
+    Returns the dict (mode / quant_fp_head / quant_fp_tail / measured
+    numbers) when `gate_pass` is true, else None. Demotion is DATA:
+    delete the file or flip `gate_pass` — bench.py's headline and the
+    `--quantize promoted` CLI surfaces all resolve through here, so the
+    verdict travels with the package."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parent / "quant_gate.json"
+    key = "promoted_distilled" if distilled else "promoted"
+    try:
+        promo = json.loads(p.read_text())[key]
+        return promo if promo.get("gate_pass") else None
+    except Exception:
+        return None
+
+
+def resolve_quantize_arg(quantize: str | None, fp_head: int, fp_tail: int,
+                         distilled: bool = False) -> tuple[str | None,
+                                                           int, int]:
+    """CLI helper: expand `--quantize promoted` into the concrete
+    gate-passing (mode, fp_head, fp_tail) from `promoted_config()` —
+    pass distilled=True on few-step folded-guidance paths so the
+    distilled verdict (pure int8, no head) is used; explicit modes pass
+    through untouched. Raises if promotion was requested but no config
+    currently passes the gate."""
+    if quantize != "promoted":
+        return quantize, fp_head, fp_tail
+    promo = promoted_config(distilled=distilled)
+    if promo is None:
+        raise SystemExit(
+            "--quantize promoted: no gate-passing config exists "
+            "(polyp_tpu/ops/quant_gate.json is absent or gate_pass is "
+            "false) — pick an explicit mode (w8a8 | w8a8_static) or run "
+            "tools/quant_sensitivity.py to re-judge")
+    return (promo["mode"], int(promo.get("quant_fp_head", 0)),
+            int(promo.get("quant_fp_tail", 0)))
+
+
 def quantization() -> Mode:
     """The active quantization mode at trace time (None = full precision)."""
     return _MODE.get()

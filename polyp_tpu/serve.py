@@ -310,14 +310,18 @@ def main(argv=None):
                         help="how long the dispatcher waits to coalesce "
                              "concurrent requests into one device launch")
     parser.add_argument("--quantize", default=None,
-                        choices=["w8a8", "w8a8_static"],
+                        choices=["w8a8", "w8a8_static", "promoted"],
                         help="W8A8 UNet sampling (ops/quant.py); _static "
-                             "calibrates per-timestep scales on first use")
+                             "calibrates per-timestep scales on first use; "
+                             "'promoted' expands to the gate-passing config "
+                             "(quant.promoted_config — w8a8_static + "
+                             "fp_head 5 as of round 4)")
     parser.add_argument("--quant-fp-head", type=int, default=0,
                         help="with --quantize: first N sampling steps in "
                              "full precision (the gate-passing promoted "
                              "config is w8a8_static + fp_head 5 — "
-                             "tools/quant_gate.json, BASELINE.md round 4)")
+                             "polyp_tpu/ops/quant_gate.json, BASELINE.md "
+                             "round 4)")
     parser.add_argument("--quant-fp-tail", type=int, default=0,
                         help="with --quantize: final N steps full precision "
                              "(measured: no fidelity effect; kept for "
@@ -333,12 +337,16 @@ def main(argv=None):
                              "the request's \"model\" field)")
     args = parser.parse_args(argv)
 
+    from polyp_tpu.ops.quant import resolve_quantize_arg
+    qmode, qhead, qtail = resolve_quantize_arg(
+        args.quantize, args.quant_fp_head, args.quant_fp_tail,
+        distilled=args.distilled_dir is not None)
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
     config = DiffusionConfig(image_size=args.image_size,
                              num_inference_steps=args.steps,
-                             quantize=args.quantize,
-                             quant_fp_head=args.quant_fp_head,
-                             quant_fp_tail=args.quant_fp_tail)
+                             quantize=qmode,
+                             quant_fp_head=qhead,
+                             quant_fp_tail=qtail)
 
     def as_batch_sampler(s):
         # pad_to=max_batch: every launch shares one compiled executable

@@ -640,17 +640,19 @@ def test_calibration_folded_guidance_and_v_head():
 
 
 def test_promoted_quant_gate_contract():
-    """tools/quant_gate.json — the measured promotion verdict bench.py's
-    headline consults (round 4): the promoted config must actually pass the
-    gate it claims, with a fidelity number below GATE_REL_L2, and bench.py
-    must resolve it. Demotion is data (delete the file / flip gate_pass),
-    so this test pins the file's contract rather than any code default."""
+    """polyp_tpu/ops/quant_gate.json — the measured promotion verdict
+    bench.py's headline consults (round 4): the promoted config must
+    actually pass the gate it claims, with a fidelity number below
+    GATE_REL_L2, and bench.py must resolve it. Demotion is data (delete
+    the file / flip gate_pass), so this test pins the file's contract
+    rather than any code default."""
     import json
     import sys
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
-    gate = json.loads((root / "tools" / "quant_gate.json").read_text())
+    gate = json.loads(
+        (root / "polyp_tpu" / "ops" / "quant_gate.json").read_text())
     sys.path.insert(0, str(root))
     try:
         import bench
@@ -659,8 +661,17 @@ def test_promoted_quant_gate_contract():
 
     promo = bench._promoted_quant()
     assert promo == gate["promoted"]
+    # the CLI surfaces (--quantize promoted on serve/bench_serve) resolve
+    # through the same package helper
+    from polyp_tpu.ops.quant import promoted_config, resolve_quantize_arg
+    assert promoted_config() == promo
+    assert resolve_quantize_arg("w8a8", 1, 2) == ("w8a8", 1, 2)
+    assert resolve_quantize_arg(None, 0, 0) == (None, 0, 0)
     if promo is None:
         return  # demoted: bf16 headline, nothing further to pin
+    assert resolve_quantize_arg("promoted", 0, 0) == (
+        promo["mode"], promo.get("quant_fp_head", 0),
+        promo.get("quant_fp_tail", 0))
     assert promo["mode"] in ("w8a8", "w8a8_static")
     # the claim must be internally consistent: measured rel L2 beats the gate
     assert promo["rel_l2_25step"] < gate["gate_rel_l2"] == 0.05
@@ -669,3 +680,37 @@ def test_promoted_quant_gate_contract():
     assert promo.get("quant_fp_tail", 0) == 0
     # promotion requires the throughput bar from the VERDICT criterion
     assert promo["samples_per_sec_50step"] >= 7.5
+    # the distilled (few-step folded-CFG) operating point carries its own
+    # verdict: pure int8, no fp head — the short trajectory doesn't
+    # accumulate drift (measured quant_rel_l2 0.026 @8-step / 0.034 @4)
+    pd = gate.get("promoted_distilled")
+    assert promoted_config(distilled=True) == (
+        pd if pd and pd.get("gate_pass") else None)
+    if pd and pd.get("gate_pass"):
+        assert pd["mode"] in ("w8a8", "w8a8_static")
+        assert pd["rel_l2_8step"] < gate["gate_rel_l2"]
+        assert pd["rel_l2_4step"] < gate["gate_rel_l2"]
+        assert pd.get("quant_fp_head", 0) == 0  # no head needed few-step
+        assert pd.get("quant_fp_tail", 0) == 0
+        assert resolve_quantize_arg("promoted", 0, 0, distilled=True) == (
+            pd["mode"], 0, 0)
+
+
+def test_quantize_promoted_expands_in_config():
+    """DiffusionConfig(quantize='promoted') resolves to the concrete
+    gate-passing config at construction, so every entry point that builds
+    a config (CLIs, serve, bench_serve) understands the alias uniformly."""
+    from polyp_tpu.configs import DiffusionConfig
+    from polyp_tpu.ops.quant import promoted_config
+
+    promo = promoted_config()
+    if promo is None:
+        import pytest
+        pytest.skip("no gate-passing config vendored (demoted state)")
+    cfg = DiffusionConfig(quantize="promoted")
+    assert cfg.quantize == promo["mode"]
+    assert cfg.quant_fp_head == promo.get("quant_fp_head", 0)
+    assert cfg.quant_fp_tail == promo.get("quant_fp_tail", 0)
+    # explicit modes pass through untouched
+    explicit = DiffusionConfig(quantize="w8a8", quant_fp_head=1)
+    assert (explicit.quantize, explicit.quant_fp_head) == ("w8a8", 1)

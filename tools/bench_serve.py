@@ -271,7 +271,7 @@ def main(argv=None) -> None:
     parser.add_argument("--duration", type=float, default=60.0)
     parser.add_argument("--batch_window_ms", type=float, default=50.0)
     parser.add_argument("--quantize", default=None,
-                        choices=["w8a8", "w8a8_static"])
+                        choices=["w8a8", "w8a8_static", "promoted"])
     parser.add_argument("--quant-fp-head", type=int, default=0,
                         help="with --quantize: first N steps full precision"
                              " (promoted gate-passing config: w8a8_static"
@@ -286,6 +286,14 @@ def main(argv=None) -> None:
     parser.add_argument("--skip_solo", action="store_true",
                         help="skip the max_batch=1 no-coalescing baseline")
     args = parser.parse_args(argv)
+
+    # expand --quantize promoted into the concrete gate-passing config
+    # (quant.promoted_config) before any stack is built
+    from polyp_tpu.ops.quant import resolve_quantize_arg
+    args.quantize, args.quant_fp_head, args.quant_fp_tail = \
+        resolve_quantize_arg(args.quantize, args.quant_fp_head,
+                             args.quant_fp_tail,
+                             distilled=args.distilled_dir is not None)
 
     if args.distilled_dir is not None and args.distilled_class == "all":
         return run_multimodel_bench(args)
