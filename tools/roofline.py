@@ -237,6 +237,139 @@ def run_fewstep(batch: int, image_size: int,
     return report
 
 
+def run_train(sd_batch: int = 8, sd_image_size: int = 256,
+              cls_batch: int = 16, cls_image_size: int = 224) -> dict:
+    """Roofline for the TRAINING paths: lowers the real jitted train steps
+    (train/sd_finetune.py::sd_lora_train_step at the reference's pretrained
+    config, train/classifier.py::train_step at the reference's classifier
+    config) through XLA cost analysis, then measures steady-state
+    throughput with the bench.py chained-step harness. Floors follow the
+    sampling roofline's method: all step FLOPs at the best measured conv
+    rate, all bytes at HBM peak, true floor = max(compute, memory).
+
+    Caveat the report carries: cost_analysis FLOPs include rematerialized
+    compute (what the chip actually executes), and the classifier's
+    depthwise convs are VPU-bound, so its MXU-rate ceiling is a known
+    overestimate — the bytes floor is the binding one there."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench  # repo-root bench.py: reuses its train-step setup/timing
+
+    report: dict = {"mode": "train"}
+
+    # measured large-conv bf16 rate at each path's batch (no CFG doubling
+    # in training)
+    conv_rate_sd = max(bench_conv(sd_batch, s, c, jnp.bfloat16)["tflops"]
+                       for s, c in LEVELS)
+    report["best_conv_tflops_sd_batch"] = conv_rate_sd
+    print(f"# best conv rate at batch {sd_batch}: {conv_rate_sd} TF/s",
+          flush=True)
+
+    # --- SD LoRA fine-tune step (the flagship training path) ---
+    from polyp_tpu.configs import DiffusionConfig
+    from polyp_tpu.diffusion import DiffusionSchedule
+    from polyp_tpu.lora import LoRAConfig, init_lora
+    from polyp_tpu.models import (SD14_TEXT_CONFIG, AutoencoderKL,
+                                  CLIPTextModel, sd14_unet)
+    from polyp_tpu.train.sd_finetune import (SDComponents,
+                                             create_sd_train_state,
+                                             init_trainable,
+                                             sd_lora_train_step)
+
+    dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(0)
+    unet = sd14_unet(dtype=dtype)
+    vae = AutoencoderKL(dtype=dtype)
+    text = CLIPTextModel(SD14_TEXT_CONFIG, dtype=dtype)
+    latent = sd_image_size // 8
+    unet_params = jax.jit(unet.init)(
+        {"params": k}, jnp.zeros((1, latent, latent, 4), dtype),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768), dtype))["params"]
+    vae_params = jax.jit(vae.init)(
+        {"params": k}, jnp.zeros((1, sd_image_size, sd_image_size, 3), dtype),
+        k)
+    text_params = jax.jit(text.init)(
+        {"params": k}, jnp.zeros((1, 77), jnp.int32))["params"]
+    frozen = SDComponents(
+        unet_params=unet_params,
+        vae_params=vae_params,
+        text_params=text_params,
+        unet_apply=lambda p, x, t, c: unet.apply({"params": p}, x, t, c),
+        vae_encode=lambda p, x: vae.apply(p, x, method=vae.encode_moments),
+        text_apply=lambda p, ids: text.apply({"params": p}, ids),
+    )
+    cfg = DiffusionConfig(image_size=sd_image_size,
+                          train_batch_size=sd_batch).with_schedule(100)
+    sched = DiffusionSchedule.create(1000, "scaled_linear", 0.00085, 0.012)
+    lcfg = LoRAConfig(rank=8, alpha=8.0, dropout=0.0)
+    state = create_sd_train_state(
+        cfg, init_trainable(init_lora(unet_params, lcfg,
+                                      jax.random.PRNGKey(1))))
+    images = jnp.zeros((sd_batch, sd_image_size, sd_image_size, 3), jnp.uint8)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    none_ids = jnp.zeros((1,), jnp.int32)
+    cost = (sd_lora_train_step
+            .lower(state, frozen, sched, images, ids, none_ids,
+                   jax.random.PRNGKey(2), lcfg)
+            .compile().cost_analysis())
+    sd = {"batch": sd_batch, "image_size": sd_image_size,
+          "flops": float(cost.get("flops", float("nan"))),
+          "bytes": float(cost.get("bytes accessed", float("nan")))}
+    flop_floor_ms = sd["flops"] / (conv_rate_sd * 1e12) * 1e3
+    mem_floor_ms = sd["bytes"] / (HBM_GBPS * 1e9) * 1e3
+    sd["floor_ms"] = {"flops_at_best_conv_rate": round(flop_floor_ms, 2),
+                      "bytes_at_hbm_peak": round(mem_floor_ms, 2)}
+    sd["ceiling_images_per_sec"] = round(
+        sd_batch / (max(flop_floor_ms, mem_floor_ms) / 1e3), 1)
+    print(f"# sd lora step analysis: {sd}", flush=True)
+    del state, frozen, unet_params, vae_params, text_params  # free HBM
+    meas = bench.bench_sd_lora_train(sd_batch, sd_image_size)
+    sd["measured_images_per_sec"] = round(
+        meas["sd_lora_train_images_per_sec"], 1)
+    sd["pct_of_ceiling"] = round(100 * sd["measured_images_per_sec"]
+                                 / sd["ceiling_images_per_sec"], 1)
+    report["sd_lora_step"] = sd
+    print(f"# sd lora step: {sd}", flush=True)
+
+    # --- classifier step (EfficientNet-B0, reference config) ---
+    from polyp_tpu.configs import ClassificationConfig
+    from polyp_tpu.train.classifier import create_classifier_state, train_step
+    from polyp_tpu.utils.rng import key_for
+
+    ccfg = ClassificationConfig(image_size=cls_image_size,
+                                batch_size=cls_batch)
+    cstate, _ = create_classifier_state(ccfg, 3, jax.random.PRNGKey(0))
+    cimgs = jnp.zeros((cls_batch, cls_image_size, cls_image_size, 3),
+                      jnp.uint8)
+    clbls = jnp.zeros((cls_batch,), jnp.int32)
+    ccost = (train_step
+             .lower(cstate, cimgs, clbls, key_for(0, "roofline", 0),
+                    None, "bf16")
+             .compile().cost_analysis())
+    cls = {"batch": cls_batch, "image_size": cls_image_size,
+           "flops": float(ccost.get("flops", float("nan"))),
+           "bytes": float(ccost.get("bytes accessed", float("nan")))}
+    cflop_ms = cls["flops"] / (conv_rate_sd * 1e12) * 1e3
+    cmem_ms = cls["bytes"] / (HBM_GBPS * 1e9) * 1e3
+    cls["floor_ms"] = {"flops_at_best_conv_rate": round(cflop_ms, 3),
+                       "bytes_at_hbm_peak": round(cmem_ms, 3),
+                       "note": "B0's depthwise convs are VPU-bound, not "
+                               "MXU — the flops floor is a known "
+                               "underestimate; bytes is the binding floor"}
+    cls["ceiling_images_per_sec"] = round(
+        cls_batch / (max(cflop_ms, cmem_ms) / 1e3), 1)
+    del cstate
+    cmeas = bench.bench_classifier_train(cls_batch, cls_image_size)
+    cls["measured_images_per_sec"] = round(cmeas["train_images_per_sec"], 1)
+    cls["pct_of_ceiling"] = round(100 * cls["measured_images_per_sec"]
+                                  / cls["ceiling_images_per_sec"], 1)
+    report["classifier_step"] = cls
+    print(f"# classifier step: {cls}", flush=True)
+    return report
+
+
 def run(batch: int, steps: int, image_size: int,
         measured: dict | None = None) -> dict:
     report: dict = {"batch": batch, "steps": steps,
@@ -307,8 +440,14 @@ def main():
                     help="roofline for folded-guidance few-step sampling "
                          "(distilled students): 1x-batch UNet step + VAE "
                          "decode Amdahl term (run_fewstep)")
+    ap.add_argument("--train", action="store_true",
+                    help="roofline for the TRAINING paths: SD LoRA step "
+                         "(batch 8 @256px) + classifier step (batch 16 "
+                         "@224px), analytic floors vs measured (run_train)")
     args = ap.parse_args()
-    if args.few_step:
+    if args.train:
+        print(json.dumps(run_train()))
+    elif args.few_step:
         print(json.dumps(run_fewstep(args.batch, args.image_size)))
     else:
         print(json.dumps(run(args.batch, args.steps, args.image_size)))
