@@ -22,6 +22,18 @@ Design — continuous micro-batching on an exclusive accelerator:
   up to `max_batch` samples, each sample carrying its own prompt embedding
   and its own PRNG key (StableDiffusionSampler.generate_batch). Under load
   the window never idles: the queue drains while the previous launch runs.
+* Launch/readback pipelining (`pipeline_depth` ≥ 2, default 1 = OFF): JAX
+  dispatch is asynchronous, so the dispatcher CAN hand a launch's
+  device→host readback to a completion thread and immediately coalesce the
+  next launch. MEASURED NEGATIVE on this host and left opt-in (the
+  fused-kernel treatment): same-session A/B at 8 clients, distilled
+  students, depth 1 = 12.36 samples/s vs depth 2 = 10.91 (-12%; base
+  25-step path -3%) — on a 1-core host the completion thread's
+  readback/conversion contends with the dispatcher's next-launch prep and
+  the clients' PNG encodes for the one core, costing more than the overlap
+  hides (BASELINE.md round-4 serving). Determinism is depth-independent
+  (completion order = launch order; samples are pure functions of
+  (prompt, seed, index)) and both depths are semantics-pinned by tests.
 * Launches are padded to `max_batch` (pipeline.generate_batch pad_to), so
   every launch reuses ONE compiled executable regardless of how many
   requests coalesced — no shape-driven recompiles on the serving path.
@@ -105,7 +117,7 @@ class GenerationService:
     def __init__(self, batch_sampler: MultiPromptSampler
                  | dict[str, MultiPromptSampler], max_batch: int = 8,
                  model_name: str = "polyp-sd", warm_prompt: str | None = None,
-                 batch_window_s: float = 0.05):
+                 batch_window_s: float = 0.05, pipeline_depth: int = 1):
         if not isinstance(batch_sampler, dict):
             batch_sampler = {model_name: batch_sampler}
         if not batch_sampler:
@@ -120,6 +132,19 @@ class GenerationService:
         self._closed = False
         self.stats = {"requests": 0, "launches": 0, "coalesced_samples": 0,
                       "launches_by_model": {k: 0 for k in self._samplers}}
+        # Launch/readback pipelining: depth ≥ 2 lets the dispatcher enqueue
+        # launch N+1's device work while the completion thread blocks on
+        # launch N's device→host transfer; the semaphore bounds in-flight
+        # launches so the device queue cannot grow unbounded. Default 1
+        # (strict serialization): the overlap measured NEGATIVE on a
+        # 1-core host — see the module docstring's A/B numbers.
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._stats_lock = threading.Lock()
+        self._inflight = threading.Semaphore(self.pipeline_depth)
+        self._completions: queue.Queue[tuple | None] = queue.Queue()
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True)
+        self._completer.start()
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._dispatcher.start()
@@ -166,6 +191,8 @@ class GenerationService:
         self._closed = True
         self._queue.put(None)
         self._dispatcher.join(timeout=5)
+        self._completions.put(None)  # after the dispatcher flushed pending
+        self._completer.join(timeout=5)
 
     # -- dispatcher side ---------------------------------------------------
 
@@ -211,34 +238,61 @@ class GenerationService:
                     closing = True       # flush this + all pending batches
                     continue
                 pending.append(nxt)      # scooped next iteration if same model
-            self._run_batch(batch, total)
+            self._launch_batch(batch, total)
 
-    def _run_batch(self, batch: list[_Request], total: int) -> None:
+    def _launch_batch(self, batch: list[_Request], total: int) -> None:
+        """Dispatch one device launch WITHOUT blocking on its result: JAX
+        returns device futures immediately, so the dispatcher goes straight
+        back to coalescing the next batch while `_complete_loop` pays the
+        device→host readback of this one."""
         prompts: list[str] = []
         keys: list[jax.Array] = []
         for r in batch:
             for j in range(r.num_images):
                 prompts.append(r.prompt)
                 keys.append(request_sample_key(r.seed, j))
+        self._inflight.acquire()  # bound launches in flight
         try:
-            images = to_uint8(self._samplers[batch[0].model](
-                prompts, jax.numpy.stack(keys)))
-            self._warm = True
-            self.stats["requests"] += len(batch)
-            self.stats["launches"] += 1
-            self.stats["launches_by_model"][batch[0].model] += 1
-            self.stats["coalesced_samples"] += total if len(batch) > 1 else 0
-            off = 0
-            for r in batch:
-                r.images = images[off:off + r.num_images]
-                r.batched_samples = total
-                off += r.num_images
-        except BaseException as e:  # propagate to every waiting request
+            images_dev = self._samplers[batch[0].model](
+                prompts, jax.numpy.stack(keys))
+        except BaseException as e:  # trace/dispatch-time failure
+            self._inflight.release()
             for r in batch:
                 r.error = e
-        finally:
-            for r in batch:
                 r.done.set()
+            return
+        self._completions.put((batch, total, images_dev))
+
+    def _complete_loop(self) -> None:
+        while True:
+            item = self._completions.get()
+            if item is None:
+                return
+            batch, total, images_dev = item
+            try:
+                # blocking device→host transfer; device-side failures of the
+                # async launch also surface here
+                images = to_uint8(images_dev)
+                self._warm = True
+                with self._stats_lock:
+                    self.stats["requests"] += len(batch)
+                    self.stats["launches"] += 1
+                    self.stats["launches_by_model"][batch[0].model] += 1
+                    self.stats["coalesced_samples"] += (total
+                                                        if len(batch) > 1
+                                                        else 0)
+                off = 0
+                for r in batch:
+                    r.images = images[off:off + r.num_images]
+                    r.batched_samples = total
+                    off += r.num_images
+            except BaseException as e:  # propagate to every waiting request
+                for r in batch:
+                    r.error = e
+            finally:
+                self._inflight.release()
+                for r in batch:
+                    r.done.set()
 
 
 def make_handler(service: GenerationService):
@@ -309,6 +363,12 @@ def main(argv=None):
     parser.add_argument("--batch_window_ms", type=float, default=50.0,
                         help="how long the dispatcher waits to coalesce "
                              "concurrent requests into one device launch")
+    parser.add_argument("--pipeline_depth", type=int, default=1,
+                        help="launches in flight: 2 overlaps launch N+1's "
+                             "device compute with launch N's device->host "
+                             "image readback — measured NEGATIVE on a "
+                             "1-core host (-12%% distilled, BASELINE.md "
+                             "round 4), default 1 = strict serialization")
     parser.add_argument("--quantize", default=None,
                         choices=["w8a8", "w8a8_static", "promoted"],
                         help="W8A8 UNet sampling (ops/quant.py); _static "
@@ -374,7 +434,8 @@ def main(argv=None):
         model_name = f"polyp-sd-distilled[{','.join(classes)}]"
         service = GenerationService(
             samplers, args.max_batch, model_name=model_name,
-            batch_window_s=args.batch_window_ms / 1e3)
+            batch_window_s=args.batch_window_ms / 1e3,
+            pipeline_depth=args.pipeline_depth)
         for cls in classes:  # warm every student with its trained embedding
             service.generate(warm_prompts[cls], 1, seed=0, model=cls)
     else:
@@ -383,7 +444,8 @@ def main(argv=None):
         service = GenerationService(
             as_batch_sampler(sampler), args.max_batch,
             model_name="polyp-sd", warm_prompt="a colon polyp",
-            batch_window_s=args.batch_window_ms / 1e3)
+            batch_window_s=args.batch_window_ms / 1e3,
+            pipeline_depth=args.pipeline_depth)
     server = serve(service, args.host, args.port)
     print(f"serving {service.models} on http://{args.host}:{args.port} "
           f"(warm)")

@@ -312,6 +312,100 @@ class TestCoalescing:
             svc.close()
 
 
+class TestPipelining:
+    """Launch/readback pipelining (serve.py GenerationService
+    pipeline_depth): at depth 2 the dispatcher launches request B while
+    request A's device→host readback (to_uint8) is still in flight; at
+    depth 1 the semaphore restores strict launch-then-read serialization.
+    Readback is made observable by wrapping serve.to_uint8 with a sleep."""
+
+    def _svc(self, monkeypatch, depth):
+        import time
+
+        from polyp_tpu import serve as serve_mod
+
+        events = []
+        real = serve_mod.to_uint8
+
+        def slow_readback(x):
+            events.append(("readback_start", time.perf_counter()))
+            time.sleep(0.4)
+            out = real(x)
+            events.append(("readback_end", time.perf_counter()))
+            return out
+
+        monkeypatch.setattr(serve_mod, "to_uint8", slow_readback)
+
+        def sampler(prompts, keys):
+            events.append(("launch", time.perf_counter()))
+            return _fake_batch_sampler(prompts, keys)
+
+        # max_batch=1 + window 0: every request is its own launch, so the
+        # event order isolates pipelining from coalescing
+        svc = serve_mod.GenerationService(sampler, max_batch=1,
+                                          batch_window_s=0.0,
+                                          pipeline_depth=depth)
+        return svc, events
+
+    def _two_staggered(self, svc):
+        import threading
+        import time
+
+        threads = [threading.Thread(target=svc.generate, args=("p", 1),
+                                    kwargs={"seed": i}) for i in (1, 2)]
+        threads[0].start()
+        time.sleep(0.1)  # A is mid-readback (0.4 s) when B arrives
+        threads[1].start()
+        for t in threads:
+            t.join(timeout=10)
+
+    def test_depth2_launches_next_during_readback(self, monkeypatch):
+        svc, events = self._svc(monkeypatch, depth=2)
+        try:
+            self._two_staggered(svc)
+        finally:
+            svc.close()
+        launches = [ts for k, ts in events if k == "launch"]
+        ends = [ts for k, ts in events if k == "readback_end"]
+        assert len(launches) == 2 and len(ends) == 2
+        # the overlap: B launched while A's readback was still sleeping
+        assert launches[1] < ends[0]
+        assert svc.stats["launches"] == 2
+
+    def test_depth1_serializes_launch_and_readback(self, monkeypatch):
+        svc, events = self._svc(monkeypatch, depth=1)
+        try:
+            self._two_staggered(svc)
+        finally:
+            svc.close()
+        launches = [ts for k, ts in events if k == "launch"]
+        ends = [ts for k, ts in events if k == "readback_end"]
+        assert len(launches) == 2 and len(ends) == 2
+        # depth 1 = the pre-pipelining dispatcher: B waits for A's readback
+        assert launches[1] >= ends[0]
+
+    def test_pipelined_results_stay_deterministic(self, monkeypatch):
+        # same (prompt, seed) → same images whether the launch rode the
+        # pipelined path alone or interleaved with another in-flight launch
+        svc, _ = self._svc(monkeypatch, depth=2)
+        try:
+            solo = svc.generate("p", 1, seed=7)
+            import threading
+            got = {}
+
+            def run(name, seed):
+                got[name] = svc.generate("p", 1, seed=seed)
+
+            a = threading.Thread(target=run, args=("a", 7))
+            b = threading.Thread(target=run, args=("b", 3))
+            a.start(); b.start()
+            a.join(timeout=10); b.join(timeout=10)
+        finally:
+            svc.close()
+        assert got["a"]["images"] == solo["images"]
+        assert got["b"]["images"] != solo["images"]
+
+
 class TestBenchServe:
     """tools/bench_serve.py load harness: stats accounting over the
     GenerationService (launch deltas exclude warm-up, occupancy is

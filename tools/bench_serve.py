@@ -240,7 +240,8 @@ def run_multimodel_bench(args) -> None:
         prompts_by[cls] = json.loads(
             (models_dir / f"distilled_{cls}_meta.json").read_text())["prompt"]
     service = GenerationService(samplers, args.max_batch,
-                                batch_window_s=args.batch_window_ms / 1e3)
+                                batch_window_s=args.batch_window_ms / 1e3,
+                                pipeline_depth=args.pipeline_depth)
     for cls in classes:  # compile+warm each student outside the window
         service.generate(prompts_by[cls], 1, seed=0, model=cls)
 
@@ -270,6 +271,11 @@ def main(argv=None) -> None:
     parser.add_argument("--clients", type=int, default=8)
     parser.add_argument("--duration", type=float, default=60.0)
     parser.add_argument("--batch_window_ms", type=float, default=50.0)
+    parser.add_argument("--pipeline_depth", type=int, default=1,
+                        help="launches in flight (GenerationService): 2 "
+                             "overlaps compute with image readback — "
+                             "measured NEGATIVE on a 1-core host "
+                             "(BASELINE.md round 4); default 1 = serial")
     parser.add_argument("--quantize", default=None,
                         choices=["w8a8", "w8a8_static", "promoted"])
     parser.add_argument("--quant-fp-head", type=int, default=0,
@@ -316,7 +322,8 @@ def main(argv=None) -> None:
         service = GenerationService(
             batch_sampler, max_batch=max_batch,
             warm_prompt=prompts[0],
-            batch_window_s=args.batch_window_ms / 1e3)
+            batch_window_s=args.batch_window_ms / 1e3,
+            pipeline_depth=args.pipeline_depth)
         server = None
         port = None
         if args.http:
@@ -334,6 +341,7 @@ def main(argv=None) -> None:
         stats["max_batch"] = max_batch
         stats["image_size"] = args.image_size
         stats["steps"] = args.steps
+        stats["pipeline_depth"] = args.pipeline_depth
         stats["quantize"] = args.quantize
         if args.quant_fp_head or args.quant_fp_tail:
             stats["quant_fp_head"] = args.quant_fp_head
