@@ -103,9 +103,13 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
     if quantize == "w8a8_static":
         from polyp_tpu.diffusion.calibrate import ensure_scales
         t0 = time.perf_counter()
+        # fingerprint mirrors pipeline._ensure_calibrated (guidance mode +
+        # prediction type included) so guided and folded calibrations of
+        # the same params can never collide in the disk cache
         scales = ensure_scales(unet, uparams, schedule,
                                (2, latent, latent, 4), cond, uncond,
-                               fingerprint_extras=(image_size, 1000))
+                               fingerprint_extras=(image_size, 1000, 7.5,
+                                                   "epsilon"))
         # stderr: stdout carries ONLY the one JSON line the driver parses
         import sys
         print(f"# calibrated {len(scales)} scales in "
@@ -208,10 +212,19 @@ def bench_distilled(batch_size: int, image_size: int, steps: int,
     scales = None
     if quantize == "w8a8_static":
         from polyp_tpu.diffusion.calibrate import ensure_scales
+        # Calibrate on the FOLDED trajectory this bench measures and the
+        # student serving path runs (cond-only 1× batch, guidance None —
+        # pipeline._ensure_calibrated's exact configuration), with the
+        # guidance mode in the fingerprint so the cache cannot hand back
+        # bench_sampling's guided-CFG tables for the same random params
+        # (test_calibration_folded_guidance_and_v_head proves the two
+        # trajectories calibrate to different tables).
         scales = ensure_scales(unet, uparams, schedule,
-                               (2, latent, latent, 4), cond,
-                               jnp.zeros_like(cond),
-                               fingerprint_extras=(image_size, 1000))
+                               (2, latent, latent, 4), cond, None,
+                               num_steps=min(8, steps),
+                               guidance_scale=None,
+                               fingerprint_extras=(image_size, 1000, None,
+                                                   "epsilon"))
 
     def denoise(uparams, cond, key):
         def raw(z, tt, emb):
@@ -483,6 +496,18 @@ def main():
         watchdog, partial = None, {"out": None}
 
     if args.distilled:
+        # refuse silently-ignored flag combinations loudly: the few-step
+        # folded bench has no hybrid-precision split (the distilled gate
+        # verdict is pure int8 — quant_gate.json promoted_distilled), and
+        # the train benches live on the default run
+        if args.quant_fp_head or args.quant_fp_tail:
+            raise SystemExit("--distilled does not support --quant-fp-head/"
+                             "--quant-fp-tail (few-step folded sampling has "
+                             "no hybrid-precision split; the measured "
+                             "distilled verdict is pure w8a8_static)")
+        if args.train or args.train_diffusion:
+            raise SystemExit("--distilled is a standalone bench; run "
+                             "--train/--train-diffusion without it")
         d = bench_distilled(args.batch, args.image_size, args.distilled,
                             args.quick, quantize=args.quantize,
                             quantize_vae=args.quantize_vae)
@@ -531,8 +556,13 @@ def main():
         # headline = the gate-passing promoted quant config
         # (polyp_tpu/ops/quant_gate.json: fixed-seed image rel L2 vs bf16 beat
         # GATE_REL_L2 on the sensitivity sweep — see BASELINE.md round 4);
-        # bf16 at the requested batch rides as the companion number.
-        q = bench_sampling(int(promo.get("batch", args.batch)),
+        # bf16 at the requested batch rides as the companion number. The
+        # verdict's measured batch applies only when the user kept the
+        # default — an explicit --batch is never silently overridden.
+        default_batch = parser.get_default("batch")
+        promo_batch = (int(promo.get("batch", args.batch))
+                       if args.batch == default_batch else args.batch)
+        q = bench_sampling(promo_batch,
                            args.image_size, args.steps, args.sampler,
                            args.quick, quantize=promo["mode"],
                            quant_fp_head=int(promo.get("quant_fp_head", 0)),
@@ -592,7 +622,7 @@ def main():
         # — fewer steps per launch leave more room before the intra-op
         # bound, so the optimum grows as steps shrink. When a gate-passing
         # distilled quant verdict exists (quant_gate.json
-        # promoted_distilled — pure w8a8_static, rel L2 0.026/0.034, the
+        # promoted_distilled — pure w8a8_static, rel L2 0.027/0.034, the
         # short trajectory doesn't accumulate int8 drift), the companions
         # run it and carry the fidelity numbers on the line.
         try:

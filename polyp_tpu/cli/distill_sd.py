@@ -250,10 +250,21 @@ def load_student_sampler(stack, output_dir: str | Path, cls: str,
                          like={"params": stack.unet_params})["params"]
     result = SimpleNamespace(params=params, num_steps=meta["num_steps"],
                              prediction_type=meta["prediction_type"])
+    quantize, fp_head, fp_tail = (config.quantize, config.quant_fp_head,
+                                  config.quant_fp_tail)
+    if config.quant_promoted:
+        # the config expanded `--quantize promoted` with the
+        # full-trajectory verdict (fp_head=5); a few-step student grid
+        # needs the DISTILLED verdict (pure int8, no head — the measured
+        # gate pass for 4/8-step folded sampling), else _precision_split
+        # would silently drop quantization when fp_head >= num_steps
+        from polyp_tpu.ops.quant import resolve_quantize_arg
+        quantize, fp_head, fp_tail = resolve_quantize_arg(
+            "promoted", 0, 0, distilled=True)
     config = DiffusionConfig(
-        image_size=config.image_size, quantize=config.quantize,
-        quant_fp_head=config.quant_fp_head,
-        quant_fp_tail=config.quant_fp_tail,
+        image_size=config.image_size, quantize=quantize,
+        quant_fp_head=fp_head,
+        quant_fp_tail=fp_tail,
         num_train_timesteps=meta["num_train_timesteps"])
     sampler = make_student_sampler(stack, result,
                                    stack.text_params["params"],

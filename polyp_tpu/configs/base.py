@@ -77,6 +77,12 @@ class DiffusionConfig:
     # deterministic sampler); 0/0 = the pure quantized mode.
     quant_fp_head: int = 0
     quant_fp_tail: int = 0
+    # provenance marker: True when `quantize` was the "promoted" alias —
+    # lets few-step consumers (cli/distill_sd.load_student_sampler)
+    # re-resolve to the DISTILLED verdict (pure int8, no fp head) instead
+    # of carrying the full-trajectory fp_head onto a 4–8-step grid where
+    # _precision_split would silently drop quantization entirely.
+    quant_promoted: bool = False
 
     def __post_init__(self):
         # quantize="promoted" expands to the gate-passing config recorded
@@ -84,6 +90,10 @@ class DiffusionConfig:
         # tools/quant_sensitivity.py verdict), so EVERY entry point that
         # builds a DiffusionConfig understands it uniformly. Explicit
         # modes pass through untouched; raises if nothing passes the gate.
+        # This expansion is the FULL-TRAJECTORY (25/50-step) verdict;
+        # surfaces that know they are few-step resolve
+        # `resolve_quantize_arg(..., distilled=True)` themselves (serve,
+        # bench_serve) or re-resolve via `quant_promoted` (distill_sd).
         if self.quantize == "promoted":
             from polyp_tpu.ops.quant import resolve_quantize_arg
             mode, head, tail = resolve_quantize_arg(
@@ -91,6 +101,7 @@ class DiffusionConfig:
             object.__setattr__(self, "quantize", mode)
             object.__setattr__(self, "quant_fp_head", head)
             object.__setattr__(self, "quant_fp_tail", tail)
+            object.__setattr__(self, "quant_promoted", True)
 
     # LoRA
     lora_rank: int = 8

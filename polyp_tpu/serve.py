@@ -191,8 +191,18 @@ class GenerationService:
         self._closed = True
         self._queue.put(None)
         self._dispatcher.join(timeout=5)
-        self._completions.put(None)  # after the dispatcher flushed pending
-        self._completer.join(timeout=5)
+        if not self._dispatcher.is_alive():
+            # Safe to stop the completer: the dispatcher enqueues every
+            # launched batch's completion tuple BEFORE exiting, so FIFO
+            # ordering guarantees they all drain ahead of this sentinel.
+            self._completions.put(None)
+            self._completer.join(timeout=5)
+        # else: a launch is still in flight past the join timeout (e.g. a
+        # cold compile) — leave the completer running so its waiting
+        # clients are still answered; enqueueing the sentinel now could
+        # stop the completer BEFORE that batch's completion arrives,
+        # stranding every caller blocked in generate(). Both threads are
+        # daemons; process exit reaps them.
 
     # -- dispatcher side ---------------------------------------------------
 

@@ -19,16 +19,13 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: repeat suite runs on this 1-core host reload
 # compiled graphs in seconds instead of recompiling for minutes. Keyed by a
-# host fingerprint (CPU features + jax version, __graft_entry__ helper) so a
-# CPU AOT artifact compiled on one machine's ISA extensions is never
-# deserialized on a host that lacks them (latent SIGILL — VERDICT r3 #6).
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from __graft_entry__ import _host_fingerprint  # noqa: E402
+# host fingerprint (CPU features + jax version) so a CPU AOT artifact
+# compiled on one machine's ISA extensions is never deserialized on a host
+# that lacks them (latent SIGILL — VERDICT r3 #6).
+from polyp_tpu.utils.host import host_fingerprint  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/jax_cache_tests_{_host_fingerprint()}")
+                  f"/tmp/jax_cache_tests_{host_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

@@ -660,7 +660,10 @@ def test_promoted_quant_gate_contract():
         sys.path.pop(0)
 
     promo = bench._promoted_quant()
-    assert promo == gate["promoted"]
+    # demotion is data: gate_pass=false must resolve to None (bf16 headline)
+    expected = (gate["promoted"]
+                if gate["promoted"].get("gate_pass") else None)
+    assert promo == expected
     # the CLI surfaces (--quantize promoted on serve/bench_serve) resolve
     # through the same package helper
     from polyp_tpu.ops.quant import promoted_config, resolve_quantize_arg
@@ -711,6 +714,11 @@ def test_quantize_promoted_expands_in_config():
     assert cfg.quantize == promo["mode"]
     assert cfg.quant_fp_head == promo.get("quant_fp_head", 0)
     assert cfg.quant_fp_tail == promo.get("quant_fp_tail", 0)
-    # explicit modes pass through untouched
+    # provenance marker: few-step consumers (distill_sd students) use it
+    # to re-resolve to the DISTILLED verdict instead of carrying the
+    # full-trajectory fp_head onto a 4-8-step grid
+    assert cfg.quant_promoted is True
+    # explicit modes pass through untouched, unmarked
     explicit = DiffusionConfig(quantize="w8a8", quant_fp_head=1)
     assert (explicit.quantize, explicit.quant_fp_head) == ("w8a8", 1)
+    assert explicit.quant_promoted is False

@@ -72,42 +72,58 @@ def percentile(sorted_vals: list[float], q: float) -> float:
     return sorted_vals[idx]
 
 
+def _closed_loop(duration: float,
+                 clients: list[tuple[str, "object"]]) -> tuple[float, dict]:
+    """The shared closed-loop client harness: one thread per (key, issue)
+    pair, each issuing back-to-back requests for `duration` seconds via
+    `issue(cid, n)`. Returns (elapsed, {key: sorted latencies}) — the
+    single- and multi-model load benches shape their own stats on top."""
+    buckets: dict[str, list[float]] = {}
+    for key, _ in clients:
+        buckets.setdefault(key, [])
+    lock = threading.Lock()
+    stop = time.monotonic() + duration
+
+    def run(cid: int, key: str, issue) -> None:
+        n = 0
+        while time.monotonic() < stop:
+            t0 = time.perf_counter()
+            issue(cid, n)
+            dt = time.perf_counter() - t0
+            n += 1
+            with lock:
+                buckets[key].append(dt)
+
+    t_start = time.perf_counter()
+    threads = [threading.Thread(target=run, args=(c, k, f))
+               for c, (k, f) in enumerate(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t_start
+    for lats in buckets.values():
+        lats.sort()
+    return elapsed, buckets
+
+
 def run_multimodel_load(service: GenerationService, duration: float,
                         assignments: list[tuple[str, str]]) -> dict:
     """Closed-loop load with per-client (model, prompt) routing — the
     multi-model fairness measurement: per-model throughput and latency
     percentiles under whatever client mix `assignments` encodes (e.g. a
     burst: most clients on one model, one client each on the others)."""
-    per_model: dict[str, list[float]] = {m: [] for m, _ in assignments}
-    lock = threading.Lock()
-    stop = time.monotonic() + duration
     launches_before = dict(service.stats["launches_by_model"])
-
-    def client(cid: int, model: str, prompt: str) -> None:
-        n = 0
-        while time.monotonic() < stop:
-            t0 = time.perf_counter()
-            service.generate(prompt, 1, seed=cid * 100003 + n, model=model)
-            dt = time.perf_counter() - t0
-            n += 1
-            with lock:
-                per_model[model].append(dt)
-
-    t_start = time.perf_counter()
-    threads = [threading.Thread(target=client, args=(c, m, p))
-               for c, (m, p) in enumerate(assignments)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    elapsed = time.perf_counter() - t_start
+    clients = [(m, lambda cid, n, m=m, p=p: service.generate(
+                    p, 1, seed=cid * 100003 + n, model=m))
+               for m, p in assignments]
+    elapsed, per_model = _closed_loop(duration, clients)
     out: dict = {"duration_s": round(elapsed, 2),
                  "clients_by_model": {}, "per_model": {}}
     for m, _ in assignments:
         out["clients_by_model"][m] = out["clients_by_model"].get(m, 0) + 1
     total = 0
     for m, lats in per_model.items():
-        lats.sort()
         total += len(lats)
         out["per_model"][m] = {
             "requests": len(lats),
@@ -126,11 +142,7 @@ def run_load(service: GenerationService, clients: int, duration: float,
              prompts: list[str] = PROMPTS) -> dict:
     """Closed-loop load: each client thread issues 1-image requests
     back-to-back for `duration` seconds. Returns latency/throughput stats."""
-    latencies: list[float] = []
-    samples = [0]
-    lock = threading.Lock()
     launches_before = service.stats["launches"]
-    stop = time.monotonic() + duration
     if http_port is not None:
         import base64  # noqa: F401  (responses carry base64 PNGs)
         import http.client
@@ -150,38 +162,22 @@ def run_load(service: GenerationService, clients: int, duration: float,
         def issue(prompt: str, seed: int) -> None:
             service.generate(prompt, 1, seed=seed)
 
-    def client(cid: int) -> None:
-        n = 0
-        while time.monotonic() < stop:
-            prompt = prompts[(cid + n) % len(prompts)]
-            t0 = time.perf_counter()
-            issue(prompt, seed=cid * 100003 + n)
-            dt = time.perf_counter() - t0
-            n += 1
-            with lock:
-                latencies.append(dt)
-                samples[0] += 1
-
-    t_start = time.perf_counter()
-    threads = [threading.Thread(target=client, args=(c,))
-               for c in range(clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    elapsed = time.perf_counter() - t_start
-    latencies.sort()
+    spec = [("all", lambda cid, n: issue(prompts[(cid + n) % len(prompts)],
+                                         seed=cid * 100003 + n))
+            ] * clients
+    elapsed, buckets = _closed_loop(duration, spec)
+    latencies = buckets["all"]
     launches = max(1, service.stats["launches"] - launches_before)
     return {
         "clients": clients,
         "duration_s": round(elapsed, 2),
-        "requests": samples[0],
-        "throughput_samples_per_s": round(samples[0] / elapsed, 3),
+        "requests": len(latencies),
+        "throughput_samples_per_s": round(len(latencies) / elapsed, 3),
         "p50_s": round(percentile(latencies, 0.50), 3),
         "p95_s": round(percentile(latencies, 0.95), 3),
         "p99_s": round(percentile(latencies, 0.99), 3),
         "launches": launches,
-        "mean_batch_occupancy": round(samples[0] / launches, 2),
+        "mean_batch_occupancy": round(len(latencies) / launches, 2),
     }
 
 
@@ -242,23 +238,27 @@ def run_multimodel_bench(args) -> None:
     service = GenerationService(samplers, args.max_batch,
                                 batch_window_s=args.batch_window_ms / 1e3,
                                 pipeline_depth=args.pipeline_depth)
-    for cls in classes:  # compile+warm each student outside the window
-        service.generate(prompts_by[cls], 1, seed=0, model=cls)
+    try:
+        for cls in classes:  # compile+warm each student outside the window
+            service.generate(prompts_by[cls], 1, seed=0, model=cls)
 
-    mixed = [(classes[i % len(classes)],
-              prompts_by[classes[i % len(classes)]])
-             for i in range(args.clients)]
-    stats = run_multimodel_load(service, args.duration, mixed)
-    stats["scenario"] = "mixed"
-    print(json.dumps(stats))
+        mixed = [(classes[i % len(classes)],
+                  prompts_by[classes[i % len(classes)]])
+                 for i in range(args.clients)]
+        stats = run_multimodel_load(service, args.duration, mixed)
+        stats["scenario"] = "mixed"
+        print(json.dumps(stats))
 
-    burst_n = max(args.clients - (len(classes) - 1), 1)
-    burst = ([(classes[0], prompts_by[classes[0]])] * burst_n
-             + [(c, prompts_by[c]) for c in classes[1:]])
-    stats = run_multimodel_load(service, args.duration, burst)
-    stats["scenario"] = f"burst:{classes[0]}x{burst_n}"
-    print(json.dumps(stats))
-    service.close()
+        burst_n = max(args.clients - (len(classes) - 1), 1)
+        burst = ([(classes[0], prompts_by[classes[0]])] * burst_n
+                 + [(c, prompts_by[c]) for c in classes[1:]])
+        stats = run_multimodel_load(service, args.duration, burst)
+        stats["scenario"] = f"burst:{classes[0]}x{burst_n}"
+        print(json.dumps(stats))
+    finally:
+        # a mid-load device error must still stop the dispatcher/completer
+        # threads — the chip is exclusive and a live service keeps it
+        service.close()
 
 
 def main(argv=None) -> None:
