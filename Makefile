@@ -1,5 +1,5 @@
 # Test tiers (VERDICT r1 item 5). Timings measured on this 1-core host with
-# a warm JAX compilation cache (/tmp/jax_cache_tests); 354 tests total
+# a warm JAX compilation cache (/tmp/jax_cache_tests); 360 tests total
 # (266 fast / 88 slow, incl. the 2 mlflow skips) as of round 4 — verify with
 # `pytest --collect-only -q`. NOTE: without `pip install -e .[dev]`
 # (mlflow) each tier reports exactly 1 skip — tests/test_tracker_mlflow.py,

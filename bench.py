@@ -466,8 +466,12 @@ def main():
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--train-diffusion", action="store_true")
-    parser.add_argument("--quantize", default=None, choices=["w8a8", "w8a8_static"],
-                        help="W8A8 UNet sampling (ops/quant.py); default off")
+    parser.add_argument("--quantize", default=None,
+                        choices=["w8a8", "w8a8_static", "promoted"],
+                        help="W8A8 UNet sampling (ops/quant.py); default "
+                             "off. 'promoted' = the vendored gate-passing "
+                             "config (quant_gate.json) — distilled-aware, "
+                             "like every other CLI surface")
     parser.add_argument("--quant-fp-head", type=int, default=0,
                         help="with --quantize: FIRST N sampling steps full "
                              "precision (hybrid-precision trajectory; a "
@@ -489,6 +493,16 @@ def main():
                         help="fail loudly if the run has not finished "
                              "within N seconds total (0 disables)")
     args = parser.parse_args()
+
+    if args.quantize == "promoted":
+        # expand the alias like every other CLI surface — distilled-aware:
+        # --distilled resolves to the few-step verdict (pure int8), the
+        # full-trajectory path to the fp-head hybrid (raises if demoted)
+        from polyp_tpu.ops.quant import resolve_quantize_arg
+        args.quantize, args.quant_fp_head, args.quant_fp_tail = (
+            resolve_quantize_arg("promoted", args.quant_fp_head,
+                                 args.quant_fp_tail,
+                                 distilled=bool(args.distilled)))
 
     if args.watchdog:
         watchdog, partial = _arm_watchdog(args.watchdog)
