@@ -36,6 +36,13 @@ def _find_decoder(kind: str):
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         fn.restype = ctypes.c_int
+        if kind == "png" and hasattr(lib, "polyp_png_encode"):
+            enc = lib.polyp_png_encode
+            enc.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            enc.restype = ctypes.c_int
     _DECODERS[kind] = lib
     return lib
 
@@ -71,6 +78,58 @@ def tiff_available() -> bool:
 def decode_png(path) -> np.ndarray:
     """Native libpng decode → uint8 RGB HWC (eval-harness sample read-back)."""
     return _decode("png", path)
+
+
+def png_encode_available() -> bool:
+    lib = _find_decoder("png")
+    return lib is not None and hasattr(lib, "polyp_png_encode")
+
+
+def encode_png(image: np.ndarray, level: int = 1) -> bytes:
+    """Native libpng encode of uint8 RGB HWC → PNG bytes.
+
+    The serving response path (serve.py) base64-encodes every generated
+    sample; PIL's default encode (zlib 6 + adaptive filtering) was measured
+    host-binding the 16-client scenario on this 1-core image. `level` is the
+    zlib level — the serving default 1 skips row filtering for speed (files
+    are ~15-30% larger; the payload is transient). Lossless either way
+    (round-trip asserted in tests/test_native.py)."""
+    lib = _find_decoder("png")
+    if lib is None or not hasattr(lib, "polyp_png_encode"):
+        raise RuntimeError(
+            "native png library not built (or stale); run `make -C native`")
+    image = np.ascontiguousarray(image, np.uint8)
+    if image.ndim != 3 or image.shape[2] != 3:
+        raise ValueError(f"expected HWC RGB uint8, got shape {image.shape}")
+    h, w = image.shape[:2]
+    # IDAT worst case: stored deflate blocks ≈ raw + raw/16k·5; 1 KiB covers
+    # headers/IHDR/IEND with wide margin (mirrors the C-side contract).
+    cap = h * (3 * w + 1) + 1024
+    dst = np.empty(cap, np.uint8)
+    size = ctypes.c_int64()
+    rc = lib.polyp_png_encode(image.ctypes.data, h, w, int(level),
+                              dst.ctypes.data, cap, ctypes.byref(size))
+    if rc != 0:
+        raise ValueError(f"png encode failed ({rc}) for shape {image.shape}")
+    return dst[:size.value].tobytes()
+
+
+def encode_png_or_pil(image: np.ndarray, level: int = 1) -> bytes:
+    """encode_png with transparent PIL fallback when the library isn't built
+    (same policy as the decode paths — behavior identical, PNGs differ only
+    in compression settings). POLYP_PNG_ENCODE=pil forces the fallback
+    (the A/B knob for tools/bench_serve.py host-bound scenarios)."""
+    if png_encode_available() and os.environ.get(
+            "POLYP_PNG_ENCODE", "native") != "pil":
+        return encode_png(image, level=level)
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(np.ascontiguousarray(image, np.uint8)).save(
+        buf, format="PNG", compress_level=level)
+    return buf.getvalue()
 
 
 def decode_tiff(path) -> np.ndarray:

@@ -25,8 +25,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
-from PIL import Image
 
+from polyp_tpu.data.native import encode_png_or_pil
 from polyp_tpu.diffusion import DiffusionSchedule, sample, with_cfg
 from polyp_tpu.ops import quant
 from polyp_tpu.models.vae import SD_VAE_SCALING
@@ -410,8 +410,12 @@ def generate_to_dir(sampler_fn: BatchSampler, num_images: int,
         if pending is not None:
             images, bs_p, offset = pending
             for i, img in enumerate(to_uint8(images)):  # blocks on device
-                Image.fromarray(img).save(
-                    out_dir / f"{start_index + offset + i + 1}.png")
+                # Native libpng encode (PIL fallback). At few-step distilled
+                # rates (~86 samples/s on chip) PIL's encode outruns the
+                # one-batch pipeline's overlap budget; zlib level 4 keeps
+                # persistent sample dirs near PIL's size at ~3x the speed.
+                (out_dir / f"{start_index + offset + i + 1}.png").write_bytes(
+                    encode_png_or_pil(img, level=4))
             if progress:
                 progress(offset + bs_p, num_images)
         pending = nxt

@@ -57,7 +57,6 @@ Design — continuous micro-batching on an exclusive accelerator:
 from __future__ import annotations
 
 import base64
-import io
 import json
 import queue
 import threading
@@ -68,8 +67,8 @@ from typing import Callable, Sequence
 
 import jax
 import numpy as np
-from PIL import Image
 
+from polyp_tpu.data.native import encode_png_or_pil
 from polyp_tpu.pipeline import to_uint8
 from polyp_tpu.utils.rng import key_for
 
@@ -174,11 +173,12 @@ class GenerationService:
         if req.error is not None:
             raise req.error
         latency = time.perf_counter() - t0
-        payload = []
-        for img in req.images:
-            buf = io.BytesIO()
-            Image.fromarray(img).save(buf, format="PNG")
-            payload.append(base64.b64encode(buf.getvalue()).decode())
+        # Native libpng encode at zlib level 1 (data/native.py, PIL fallback):
+        # PIL's default encode host-bound the measured 16-client scenario
+        # (BASELINE.md round-4 serving); the payload is transient, so encode
+        # speed wins over the ~20% size increase.
+        payload = [base64.b64encode(encode_png_or_pil(img)).decode()
+                   for img in req.images]
         return {"images": payload, "latency_s": round(latency, 3),
                 "prompt": prompt, "seed": seed, "model": model,
                 "batched_samples": req.batched_samples}

@@ -87,6 +87,52 @@ class TestNativePNG:
             native.decode_png(tmp_path / "nope.png")
 
 
+class TestNativePNGEncode:
+    """polyp_png_encode (serving response path, serve.py; sample writer,
+    pipeline.generate_to_dir) — losslessness and fallback parity."""
+
+    @pytest.fixture(autouse=True)
+    def _skip_without_encode(self):
+        if not native.png_encode_available():
+            pytest.skip("native png encode not built")
+
+    @pytest.mark.parametrize("level", [0, 1, 4, 9])
+    def test_roundtrip_lossless_vs_pil(self, level):
+        import io
+        from PIL import Image
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (37, 23, 3), np.uint8)
+        data = native.encode_png(img, level=level)
+        back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(back, img)
+
+    def test_roundtrip_via_native_decode(self, tmp_path):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+        p = tmp_path / "rt.png"
+        p.write_bytes(native.encode_png(img))
+        np.testing.assert_array_equal(native.decode_png(p), img)
+
+    def test_compressible_content_shrinks(self):
+        img = np.zeros((128, 128, 3), np.uint8)
+        assert len(native.encode_png(img, level=1)) < img.nbytes // 10
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError, match="HWC RGB"):
+            native.encode_png(np.zeros((8, 8), np.uint8))
+
+    def test_fallback_matches_when_forced(self, monkeypatch):
+        # encode_png_or_pil must stay lossless through the PIL branch too
+        import io
+        from PIL import Image
+        monkeypatch.setattr(native, "png_encode_available", lambda: False)
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        data = native.encode_png_or_pil(img)
+        back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(back, img)
+
+
 class TestNativeTIFF:
     """native/tiff_decode.cpp vs PIL over the corpus-relevant TIFF profile
     (the reference corpus is CSV-listed .tif files — PolypDataset.py:48-53)."""
