@@ -52,6 +52,15 @@ Design — continuous micro-batching on an exclusive accelerator:
   --distilled-class all`) behind one chip. The dispatcher coalesces only
   same-model requests and serves models in arrival order (FIFO by launch),
   so one model's burst cannot starve another's queued request.
+* Admission control (bounded by default): at most `max_pending` requests may
+  wait for a launch slot — request max_pending+1 is shed at the door with
+  `ServiceOverloaded` (HTTP 429 + Retry-After) instead of joining an
+  unbounded queue whose p99 degrades without limit (the round-4 overload
+  datapoint: p99 = 21.7 s at 16 clients on an unbounded queue). An optional
+  per-request `timeout_s` deadline covers the QUEUE WAIT: a request whose
+  deadline passes before its launch is expired with `DeadlineExceeded`
+  (HTTP 503) — once launched, device work is not cancellable and runs to
+  completion. Shed/expired counts surface in /healthz stats.
 """
 
 from __future__ import annotations
@@ -87,12 +96,23 @@ def request_sample_key(seed: int, index: int) -> jax.Array:
     return key_for(seed, index)
 
 
+class ServiceOverloaded(RuntimeError):
+    """Admission refused: `max_pending` requests already queued. Clients
+    should back off and retry (HTTP 429)."""
+
+
+class DeadlineExceeded(TimeoutError):
+    """The request's `timeout_s` elapsed while it waited in the queue —
+    it was never launched (HTTP 503). Launched work always completes."""
+
+
 @dataclass
 class _Request:
     prompt: str
     num_images: int
     seed: int
     model: str = ""                           # routing key (multi-model)
+    deadline: float | None = None             # monotonic; queue-wait bound
     done: threading.Event = field(default_factory=threading.Event)
     images: np.ndarray | None = None          # uint8 [n,H,W,C]
     batched_samples: int = 0                  # launch size it rode in
@@ -116,7 +136,9 @@ class GenerationService:
     def __init__(self, batch_sampler: MultiPromptSampler
                  | dict[str, MultiPromptSampler], max_batch: int = 8,
                  model_name: str = "polyp-sd", warm_prompt: str | None = None,
-                 batch_window_s: float = 0.05, pipeline_depth: int = 1):
+                 batch_window_s: float = 0.05, pipeline_depth: int = 1,
+                 max_pending: int | None = 64,
+                 default_timeout_s: float | None = None):
         if not isinstance(batch_sampler, dict):
             batch_sampler = {model_name: batch_sampler}
         if not batch_sampler:
@@ -126,10 +148,19 @@ class GenerationService:
         self.max_batch = max_batch
         self.model_name = model_name
         self.batch_window_s = batch_window_s
+        # Admission control: at most `max_pending` requests admitted but not
+        # yet launched (None = unbounded, the pre-round-5 behavior). The
+        # bound is on REQUESTS waiting for a launch slot; in-flight device
+        # work is bounded separately by `pipeline_depth`.
+        self.max_pending = max_pending
+        self.default_timeout_s = default_timeout_s
+        self._pending_count = 0
+        self._pending_lock = threading.Lock()
         self._queue: queue.Queue[_Request | None] = queue.Queue()
         self._warm = False
         self._closed = False
         self.stats = {"requests": 0, "launches": 0, "coalesced_samples": 0,
+                      "shed": 0, "expired": 0,
                       "launches_by_model": {k: 0 for k in self._samplers}}
         # Launch/readback pipelining: depth ≥ 2 lets the dispatcher enqueue
         # launch N+1's device work while the completion thread blocks on
@@ -157,7 +188,8 @@ class GenerationService:
     # -- client side ------------------------------------------------------
 
     def generate(self, prompt: str, num_images: int, seed: int = 0,
-                 model: str | None = None) -> dict:
+                 model: str | None = None,
+                 timeout_s: float | None = None) -> dict:
         if not 1 <= num_images <= self.max_batch:
             raise ValueError(f"num_images must be in [1, {self.max_batch}]")
         model = model or self.default_model
@@ -166,8 +198,22 @@ class GenerationService:
                              f"(serving: {sorted(self._samplers)})")
         if self._closed:
             raise RuntimeError("service is closed")
+        # Admission: shed at the door when max_pending requests already
+        # wait for a launch slot — bounded queue wait beats unbounded p99.
+        with self._pending_lock:
+            if (self.max_pending is not None
+                    and self._pending_count >= self.max_pending):
+                self.stats["shed"] += 1
+                raise ServiceOverloaded(
+                    f"{self._pending_count} requests pending "
+                    f"(max_pending={self.max_pending}); retry later")
+            self._pending_count += 1
         t0 = time.perf_counter()
-        req = _Request(prompt, int(num_images), int(seed), model)
+        timeout_s = self.default_timeout_s if timeout_s is None else timeout_s
+        deadline = (time.monotonic() + timeout_s
+                    if timeout_s is not None else None)
+        req = _Request(prompt, int(num_images), int(seed), model,
+                       deadline=deadline)
         self._queue.put(req)
         req.done.wait()
         if req.error is not None:
@@ -206,6 +252,23 @@ class GenerationService:
 
     # -- dispatcher side ---------------------------------------------------
 
+    def _unpend(self, n: int) -> None:
+        with self._pending_lock:
+            self._pending_count -= n
+
+    def _expire(self, req: _Request) -> bool:
+        """True (and the request is answered with DeadlineExceeded) when its
+        queue-wait deadline passed before a launch slot opened."""
+        if req.deadline is None or time.monotonic() < req.deadline:
+            return False
+        with self._stats_lock:
+            self.stats["expired"] += 1
+        self._unpend(1)
+        req.error = DeadlineExceeded(
+            "request timed out in queue before reaching a launch slot")
+        req.done.set()
+        return True
+
     def _dispatch_loop(self) -> None:
         from collections import deque
 
@@ -220,15 +283,20 @@ class GenerationService:
                     return
                 pending.append(req)
             head = pending.popleft()
+            if self._expire(head):
+                continue
             batch = [head]
             total = head.num_images
             deadline = time.monotonic() + self.batch_window_s
             while total < self.max_batch:
-                # scoop already-pending same-model requests, FIFO
+                # scoop already-pending same-model requests, FIFO;
+                # expired requests are answered and dropped as they surface
                 i = 0
                 while i < len(pending) and total < self.max_batch:
                     r = pending[i]
-                    if (r.model == head.model
+                    if self._expire(r):
+                        del pending[i]
+                    elif (r.model == head.model
                             and total + r.num_images <= self.max_batch):
                         del pending[i]
                         batch.append(r)
@@ -262,6 +330,9 @@ class GenerationService:
                 prompts.append(r.prompt)
                 keys.append(request_sample_key(r.seed, j))
         self._inflight.acquire()  # bound launches in flight
+        # launched: these requests no longer occupy admission slots —
+        # in-flight device work is bounded by pipeline_depth, not max_pending
+        self._unpend(len(batch))
         try:
             images_dev = self._samplers[batch[0].model](
                 prompts, jax.numpy.stack(keys))
@@ -320,6 +391,7 @@ def make_handler(service: GenerationService):
                 self._send(200, {"status": "ok", "model": service.model_name,
                                  "models": service.models,
                                  "warm": service.warm,
+                                 "max_pending": service.max_pending,
                                  "stats": dict(service.stats)})
             else:
                 self._send(404, {"error": "not found"})
@@ -331,10 +403,24 @@ def make_handler(service: GenerationService):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                timeout = req.get("timeout_s")
                 result = service.generate(
                     req.get("prompt", ""), int(req.get("num_images", 1)),
-                    int(req.get("seed", 0)), req.get("model"))
+                    int(req.get("seed", 0)), req.get("model"),
+                    timeout_s=float(timeout) if timeout is not None else None)
                 self._send(200, result)
+            except ServiceOverloaded as e:
+                # shed cleanly: bounded queue wait for admitted requests,
+                # explicit backpressure for the rest
+                self.send_response(429)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+            except DeadlineExceeded as e:
+                self._send(503, {"error": str(e)})
             except ValueError as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # surface, don't crash the server
@@ -379,6 +465,14 @@ def main(argv=None):
                              "image readback — measured NEGATIVE on a "
                              "1-core host (-12%% distilled, BASELINE.md "
                              "round 4), default 1 = strict serialization")
+    parser.add_argument("--max_pending", type=int, default=64,
+                        help="admission bound: requests queued past this "
+                             "are shed with HTTP 429 (0 = unbounded, the "
+                             "pre-round-5 behavior)")
+    parser.add_argument("--request_timeout_s", type=float, default=None,
+                        help="default per-request queue-wait deadline; a "
+                             "request not launched within this window gets "
+                             "HTTP 503 (launched work always completes)")
     parser.add_argument("--quantize", default=None,
                         choices=["w8a8", "w8a8_static", "promoted"],
                         help="W8A8 UNet sampling (ops/quant.py); _static "
@@ -405,6 +499,16 @@ def main(argv=None):
                              "class name, or 'all' to host every "
                              "distilled_* found (multi-model routing via "
                              "the request's \"model\" field)")
+    parser.add_argument("--vae-decoder", default="full",
+                        choices=["full", "tiny"],
+                        help="'tiny' serves through a distilled "
+                             "models/tiny_decoder.TinyDecoder instead of "
+                             "the full AutoencoderKL decode — the few-step "
+                             "Amdahl lever (polyp-distill-vae trains one)")
+    parser.add_argument("--tiny-decoder-dir", default=None,
+                        help="polyp-distill-vae output dir (default: "
+                             "<distilled-dir>/models/tiny_decoder, else "
+                             "./models/tiny_decoder)")
     args = parser.parse_args(argv)
 
     from polyp_tpu.ops.quant import resolve_quantize_arg
@@ -423,6 +527,20 @@ def main(argv=None):
         return lambda prompts, keys: s.generate_batch(prompts, keys,
                                                       pad_to=args.max_batch)
 
+    decoder = None
+    if args.vae_decoder == "tiny":
+        from polyp_tpu.models.tiny_decoder import load_tiny_decoder
+        tiny_dir = args.tiny_decoder_dir
+        if tiny_dir is None:
+            candidate = (Path(args.distilled_dir) / "models" / "tiny_decoder"
+                         if args.distilled_dir else None)
+            tiny_dir = (candidate if candidate and candidate.exists()
+                        else "./models/tiny_decoder")
+        module, dparams, dmeta = load_tiny_decoder(tiny_dir)
+        decoder = (module, dparams)
+        print(f"tiny decoder from {tiny_dir} "
+              f"(trained rel_l2 vs full decode: {dmeta.get('rel_l2')})")
+
     if args.distilled_dir is not None:
         from polyp_tpu.cli.distill_sd import load_student_sampler
         models_dir = Path(args.distilled_dir) / "models"
@@ -437,25 +555,31 @@ def main(argv=None):
         samplers, warm_prompts = {}, {}
         for cls in classes:
             samplers[cls] = as_batch_sampler(
-                load_student_sampler(stack, args.distilled_dir, cls, config))
+                load_student_sampler(stack, args.distilled_dir, cls, config,
+                                     decoder=decoder))
             warm_prompts[cls] = json.loads(
                 (models_dir / f"distilled_{cls}_meta.json")
                 .read_text())["prompt"]
         model_name = f"polyp-sd-distilled[{','.join(classes)}]"
+        admission = dict(max_pending=args.max_pending or None,
+                         default_timeout_s=args.request_timeout_s)
         service = GenerationService(
             samplers, args.max_batch, model_name=model_name,
             batch_window_s=args.batch_window_ms / 1e3,
-            pipeline_depth=args.pipeline_depth)
+            pipeline_depth=args.pipeline_depth, **admission)
         for cls in classes:  # warm every student with its trained embedding
             service.generate(warm_prompts[cls], 1, seed=0, model=cls)
     else:
         sampler = make_sampler(stack, stack.unet_params,
-                               stack.text_params["params"], config)
+                               stack.text_params["params"], config,
+                               decoder=decoder)
         service = GenerationService(
             as_batch_sampler(sampler), args.max_batch,
             model_name="polyp-sd", warm_prompt="a colon polyp",
             batch_window_s=args.batch_window_ms / 1e3,
-            pipeline_depth=args.pipeline_depth)
+            pipeline_depth=args.pipeline_depth,
+            max_pending=args.max_pending or None,
+            default_timeout_s=args.request_timeout_s)
     server = serve(service, args.host, args.port)
     print(f"serving {service.models} on http://{args.host}:{args.port} "
           f"(warm)")

@@ -543,3 +543,178 @@ class TestMultiModel:
         svc.close()
         t.join(timeout=30)
         assert results and results[0]["model"] == "B"
+
+
+class TestAdmissionControl:
+    """Bounded admission (serve.py round 5): requests past `max_pending`
+    shed with ServiceOverloaded, queue-wait deadlines expire with
+    DeadlineExceeded, and both surface as 429/503 + stats — the measured
+    alternative to the unbounded queue whose p99 degrades without limit."""
+
+    def _blocking_service(self, max_pending, **kw):
+        import threading
+
+        from polyp_tpu.serve import GenerationService
+
+        gate = threading.Event()
+        started = threading.Event()
+
+        def sampler(prompts, keys):
+            started.set()
+            assert gate.wait(timeout=30), "test gate never opened"
+            return _fake_batch_sampler(prompts, keys)
+
+        svc = GenerationService(sampler, max_batch=1, batch_window_s=0.0,
+                                max_pending=max_pending, **kw)
+        return svc, gate, started
+
+    def _bg(self, svc, n, **kw):
+        import threading
+
+        outs, errs = [], []
+
+        def run(seed):
+            try:
+                outs.append(svc.generate("p", 1, seed=seed, **kw))
+            except Exception as e:
+                errs.append(e)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        return threads, outs, errs
+
+    def test_shed_past_max_pending(self):
+        from polyp_tpu.serve import ServiceOverloaded
+
+        svc, gate, started = self._blocking_service(max_pending=2)
+        try:
+            # A launches (occupies the device, no longer pending) ...
+            threads_a, outs_a, errs_a = self._bg(svc, 1)
+            assert started.wait(timeout=10)
+            # ... B and C fill the two admission slots ...
+            threads_bc, outs_bc, errs_bc = self._bg(svc, 2)
+            import time
+            deadline = time.monotonic() + 5
+            while svc._pending_count < 2 and time.monotonic() < deadline:
+                time.sleep(0.01)
+            # ... D is shed at the door, synchronously
+            with pytest.raises(ServiceOverloaded, match="max_pending=2"):
+                svc.generate("p", 1, seed=99)
+            assert svc.stats["shed"] == 1
+            gate.set()
+            for t in threads_a + threads_bc:
+                t.join(timeout=30)
+            assert not errs_a and not errs_bc
+            assert len(outs_a) + len(outs_bc) == 3  # admitted all complete
+        finally:
+            gate.set()
+            svc.close()
+
+    def test_unbounded_when_none(self):
+        svc, gate, started = self._blocking_service(max_pending=None)
+        try:
+            threads, outs, errs = self._bg(svc, 6)
+            assert started.wait(timeout=10)
+            gate.set()
+            for t in threads:
+                t.join(timeout=30)
+            assert not errs and len(outs) == 6
+            assert svc.stats["shed"] == 0
+        finally:
+            gate.set()
+            svc.close()
+
+    def test_queued_request_expires_after_timeout(self):
+        from polyp_tpu.serve import DeadlineExceeded
+
+        svc, gate, started = self._blocking_service(max_pending=None)
+        try:
+            threads_a, outs_a, _ = self._bg(svc, 1)
+            assert started.wait(timeout=10)
+            # B waits behind A's launch with a 50 ms queue-wait deadline
+            threads_b, outs_b, errs_b = self._bg(svc, 1, timeout_s=0.05)
+            import time
+            time.sleep(0.3)  # let B's deadline lapse while A blocks
+            gate.set()
+            for t in threads_a + threads_b:
+                t.join(timeout=30)
+            assert len(outs_a) == 1          # launched work completes
+            assert not outs_b
+            assert len(errs_b) == 1 and isinstance(errs_b[0], DeadlineExceeded)
+            assert svc.stats["expired"] == 1
+        finally:
+            gate.set()
+            svc.close()
+
+    def test_no_deadline_no_expiry(self):
+        svc, gate, started = self._blocking_service(max_pending=None)
+        try:
+            threads, outs, errs = self._bg(svc, 3)
+            assert started.wait(timeout=10)
+            import time
+            time.sleep(0.2)
+            gate.set()
+            for t in threads:
+                t.join(timeout=30)
+            assert not errs and len(outs) == 3
+            assert svc.stats["expired"] == 0
+        finally:
+            gate.set()
+            svc.close()
+
+    def test_http_429_and_stats(self):
+        import threading
+        import urllib.error
+
+        from polyp_tpu.serve import GenerationService, serve
+
+        gate = threading.Event()
+        started = threading.Event()
+
+        def sampler(prompts, keys):
+            started.set()
+            assert gate.wait(timeout=30)
+            return _fake_batch_sampler(prompts, keys)
+
+        service = GenerationService(sampler, max_batch=1,
+                                    batch_window_s=0.0, max_pending=1)
+        server = serve(service, port=0)
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+
+        def post():
+            req = urllib.request.Request(
+                url + "/generate",
+                json.dumps({"prompt": "p", "num_images": 1}).encode(),
+                {"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as resp:
+                return resp.status
+
+        try:
+            t1 = threading.Thread(target=post)  # launches, blocks in sampler
+            t1.start()
+            assert started.wait(timeout=10)
+            t2 = threading.Thread(target=post)  # fills the 1 admission slot
+            t2.start()
+            import time
+            deadline = time.monotonic() + 5
+            while service._pending_count < 1 and time.monotonic() < deadline:
+                time.sleep(0.01)
+            try:
+                post()
+                assert False, "expected HTTP 429"
+            except urllib.error.HTTPError as e:
+                assert e.code == 429
+                assert e.headers.get("Retry-After") == "1"
+                assert "max_pending" in json.loads(e.read())["error"]
+            gate.set()
+            t1.join(timeout=30)
+            t2.join(timeout=30)
+            with urllib.request.urlopen(url + "/healthz") as resp:
+                body = json.loads(resp.read())
+            assert body["max_pending"] == 1
+            assert body["stats"]["shed"] == 1
+        finally:
+            gate.set()
+            server.shutdown()
+            service.close()

@@ -181,6 +181,58 @@ def run_load(service: GenerationService, clients: int, duration: float,
     }
 
 
+def run_overload(args) -> None:
+    """Overload scenario (clients ≫ capacity): admitted-request latency and
+    clean shedding under a bounded queue vs unbounded degradation.
+
+    Each of `--clients` threads issues back-to-back 1-image requests; on a
+    429 (ServiceOverloaded) the client backs off 50 ms and retries. Two
+    configs run on the same compiled stack: max_pending=args.max_pending
+    (bounded, the round-5 default) and max_pending=None (the pre-round-5
+    unbounded queue). The bounded run's p99 must stay near
+    (max_pending/throughput); the unbounded run's p99 grows with client
+    count without limit."""
+    from polyp_tpu.serve import ServiceOverloaded
+
+    batch_sampler = build_batch_sampler(args, args.max_batch)
+    for bound in (args.max_pending, None):
+        service = GenerationService(
+            batch_sampler, max_batch=args.max_batch,
+            warm_prompt=PROMPTS[0],
+            batch_window_s=args.batch_window_ms / 1e3,
+            max_pending=bound)
+        shed = [0]
+        lock = threading.Lock()
+
+        def issue(cid, n):
+            while True:
+                try:
+                    service.generate(PROMPTS[cid % len(PROMPTS)], 1,
+                                     seed=cid * 100003 + n)
+                    return
+                except ServiceOverloaded:
+                    with lock:
+                        shed[0] += 1
+                    time.sleep(0.05)
+
+        elapsed, buckets = _closed_loop(args.duration,
+                                        [("all", issue)] * args.clients)
+        lats = buckets["all"]
+        print(json.dumps({
+            "scenario": "overload",
+            "max_pending": bound,
+            "clients": args.clients,
+            "duration_s": round(elapsed, 2),
+            "accepted": len(lats),
+            "shed_events": shed[0],
+            "throughput_samples_per_s": round(len(lats) / elapsed, 3),
+            "p50_s": round(percentile(lats, 0.50), 3),
+            "p95_s": round(percentile(lats, 0.95), 3),
+            "p99_s": round(percentile(lats, 0.99), 3),
+        }))
+        service.close()
+
+
 def build_batch_sampler(args, max_batch: int):
     stack = load_sd_stack(args.pretrained_dir, tiny=args.tiny)
     config = DiffusionConfig(image_size=args.image_size,
@@ -188,16 +240,24 @@ def build_batch_sampler(args, max_batch: int):
                              quantize=args.quantize,
                              quant_fp_head=args.quant_fp_head,
                              quant_fp_tail=args.quant_fp_tail)
+    decoder = None
+    if getattr(args, "vae_decoder", "full") == "tiny":
+        from polyp_tpu.models.tiny_decoder import load_tiny_decoder
+        module, dparams, _ = load_tiny_decoder(
+            args.tiny_decoder_dir or "./models/tiny_decoder")
+        decoder = (module, dparams)
     if args.distilled_dir is not None:
         # distilled-student serving: few-step trailing DDIM, folded
         # guidance (cond-only 1× batch) — the step-count × CFG-halving
         # serving speedup is exactly what this mode measures vs the base
         from polyp_tpu.cli.distill_sd import load_student_sampler
         sampler = load_student_sampler(stack, args.distilled_dir,
-                                       args.distilled_class, config)
+                                       args.distilled_class, config,
+                                       decoder=decoder)
     else:
         sampler = make_sampler(stack, stack.unet_params,
-                               stack.text_params["params"], config)
+                               stack.text_params["params"], config,
+                               decoder=decoder)
 
     def batch_sampler(prompts, keys):
         return sampler.generate_batch(prompts, keys, pad_to=max_batch)
@@ -291,6 +351,18 @@ def main(argv=None) -> None:
                         help="route requests through the HTTP layer too")
     parser.add_argument("--skip_solo", action="store_true",
                         help="skip the max_batch=1 no-coalescing baseline")
+    parser.add_argument("--overload", action="store_true",
+                        help="overload scenario: clients >> capacity, "
+                             "bounded (max_pending) vs unbounded queue — "
+                             "shed counts and accepted-request percentiles "
+                             "(run_overload)")
+    parser.add_argument("--max_pending", type=int, default=16,
+                        help="admission bound for --overload's bounded run")
+    parser.add_argument("--vae-decoder", default="full",
+                        choices=["full", "tiny"], dest="vae_decoder",
+                        help="'tiny' serves through the distilled "
+                             "TinyDecoder (polyp-distill-vae output)")
+    parser.add_argument("--tiny-decoder-dir", default=None)
     args = parser.parse_args(argv)
 
     # expand --quantize promoted into the concrete gate-passing config
@@ -300,6 +372,9 @@ def main(argv=None) -> None:
         resolve_quantize_arg(args.quantize, args.quant_fp_head,
                              args.quant_fp_tail,
                              distilled=args.distilled_dir is not None)
+
+    if args.overload:
+        return run_overload(args)
 
     if args.distilled_dir is not None and args.distilled_class == "all":
         return run_multimodel_bench(args)
