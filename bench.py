@@ -171,7 +171,9 @@ def bench_sampling(batch_size: int, image_size: int, steps: int,
 def bench_distilled(batch_size: int, image_size: int, steps: int,
                     quick: bool = False, repeats: int = 3,
                     quantize: str | None = None,
-                    quantize_vae: bool = False) -> dict:
+                    quantize_vae: bool = False,
+                    tiny_decoder: bool = False,
+                    tiny_decoder_dir: str | None = None) -> dict:
     """Folded-guidance few-step sampling — the distilled-student serving
     path (train/distill.py + cli/distill_sd.py): cond-only UNet at 1× batch
     (no CFG doubling), N-step trailing DDIM, VAE decode per image.
@@ -238,14 +240,38 @@ def bench_distilled(batch_size: int, image_size: int, steps: int,
 
     vae_mode = "w8a8" if quantize_vae else None
 
+    tiny_mod = tiny_params = None
+    if tiny_decoder:
+        # distilled tiny decoder (models/tiny_decoder.py): ~30× fewer
+        # decode FLOPs. Throughput is weight-independent (random init and
+        # a trained student run the identical program); fidelity is the
+        # trained artifact's burden (polyp-distill-vae rel_l2, vendored
+        # when --tiny-decoder-dir points at one).
+        from polyp_tpu.models.tiny_decoder import (load_tiny_decoder,
+                                                   tiny_decoder_for_vae)
+        if tiny_decoder_dir:
+            tiny_mod, tiny_params, tiny_meta = load_tiny_decoder(
+                tiny_decoder_dir)
+        else:
+            tiny_meta = None
+            tiny_mod = tiny_decoder_for_vae(vae, dtype=dtype)
+            tiny_params = jax.jit(tiny_mod.init)(
+                {"params": k},
+                jnp.zeros((1, latent, latent, 4), jnp.float32))["params"]
+
     def _decode(vparams, z, mode):
         # the VAE decode is the few-step Amdahl term (module docstring);
         # mode="w8a8" routes its ResnetBlock2D convs through QConv with
         # dynamic per-tensor activation scales (no timestep dependence, so
-        # no calibration needed)
+        # no calibration needed); mode="tiny" is the distilled decoder
+        if mode == "tiny":
+            return tiny_mod.apply({"params": tiny_params}, z.astype(dtype))
         with quant.override(mode):
             return vae.apply(vparams, z.astype(dtype) / 0.18215,
                              method=vae.decode)
+
+    if tiny_decoder:
+        vae_mode = "tiny"
 
     @jax.jit
     def generate(uparams, vparams, cond, key):
@@ -280,6 +306,10 @@ def bench_distilled(batch_size: int, image_size: int, steps: int,
         "batch_size": batch_size,
         "steps": steps,
     }
+    if tiny_decoder:
+        out["decoder"] = "tiny"
+        if tiny_meta is not None and "rel_l2" in tiny_meta:
+            out["tiny_rel_l2"] = tiny_meta["rel_l2"]
     if quantize_vae:
         # fidelity of the int8 decoder on the same latents, vs bf16 decode
         ref = np.asarray(jax.jit(lambda vp, zz: _decode(vp, zz, None))(
@@ -489,6 +519,16 @@ def main():
                         help="with --distilled: w8a8 the VAE decoder too "
                              "(the few-step Amdahl term; reports int8 "
                              "decode fidelity as vae_q_rel_l2)")
+    parser.add_argument("--tiny-decoder", action="store_true",
+                        help="with --distilled: decode through the "
+                             "distilled TinyDecoder (~30x fewer decode "
+                             "FLOPs — models/tiny_decoder.py); throughput "
+                             "is weight-independent, fidelity rides from "
+                             "--tiny-decoder-dir's trained meta")
+    parser.add_argument("--tiny-decoder-dir", default=None,
+                        help="polyp-distill-vae output dir (trained tiny "
+                             "decoder); default: random init, throughput "
+                             "identical")
     parser.add_argument("--watchdog", type=int, default=3600,
                         help="fail loudly if the run has not finished "
                              "within N seconds total (0 disables)")
@@ -522,14 +562,21 @@ def main():
         if args.train or args.train_diffusion:
             raise SystemExit("--distilled is a standalone bench; run "
                              "--train/--train-diffusion without it")
+        if args.tiny_decoder and args.quantize_vae:
+            raise SystemExit("--tiny-decoder and --quantize-vae are "
+                             "alternative decode levers; pick one")
         d = bench_distilled(args.batch, args.image_size, args.distilled,
                             args.quick, quantize=args.quantize,
-                            quantize_vae=args.quantize_vae)
+                            quantize_vae=args.quantize_vae,
+                            tiny_decoder=args.tiny_decoder,
+                            tiny_decoder_dir=args.tiny_decoder_dir)
         out = {
             "metric": f"{args.image_size}px distilled samples/sec/chip "
                       f"({args.distilled}-step folded-CFG DDIM"
                       + (f", {args.quantize}" if args.quantize else "")
-                      + (", w8a8-vae" if args.quantize_vae else "") + ")",
+                      + (", w8a8-vae" if args.quantize_vae else "")
+                      + (", tiny-decoder" if args.tiny_decoder else "")
+                      + ")",
             "value": round(d["samples_per_sec"], 4),
             "unit": "samples/sec/chip",
             "vs_baseline": round(d["samples_per_sec"]
@@ -544,6 +591,8 @@ def main():
             out["vae_q_rel_l2"] = round(d["vae_q_rel_l2"], 4)
         if "quant_rel_l2" in d:
             out["quant_rel_l2"] = round(d["quant_rel_l2"], 4)
+        if "tiny_rel_l2" in d:
+            out["tiny_rel_l2"] = round(d["tiny_rel_l2"], 4)
         if watchdog is not None:
             watchdog.set()
         print(json.dumps(out))
@@ -666,6 +715,36 @@ def main():
                     d4["quant_rel_l2"], 4)
         except Exception as e:
             out["distilled_error"] = f"{type(e).__name__}: {e}"[:200]
+        partial["out"] = dict(out)
+        # tiny-decoder companions: the round-5 attack on the VAE-decode
+        # Amdahl wall (42-47% of a few-step sample) — same operating
+        # points with the full decode swapped for the distilled
+        # TinyDecoder (models/tiny_decoder.py). Throughput is
+        # weight-independent; the trained artifact's rel_l2 is recorded by
+        # polyp-distill-vae (BASELINE.md round 5).
+        try:
+            import os as _os
+            tdir = ("./models/tiny_decoder"
+                    if _os.path.isdir("./models/tiny_decoder/params")
+                    else None)
+            dt8 = bench_distilled(16, args.image_size, 8, args.quick,
+                                  quantize=mode, tiny_decoder=True,
+                                  tiny_decoder_dir=tdir)
+            out["distilled_tinydec_value"] = round(
+                dt8["samples_per_sec"], 4)
+            out["distilled_tinydec_vae_share"] = round(
+                dt8["vae_share"], 4)
+            dt4 = bench_distilled(32, args.image_size, 4, args.quick,
+                                  quantize=mode, tiny_decoder=True,
+                                  tiny_decoder_dir=tdir)
+            out["distilled_4step_tinydec_value"] = round(
+                dt4["samples_per_sec"], 4)
+            out["distilled_4step_tinydec_vae_share"] = round(
+                dt4["vae_share"], 4)
+            if "tiny_rel_l2" in dt4:
+                out["tinydec_rel_l2"] = round(dt4["tiny_rel_l2"], 4)
+        except Exception as e:
+            out["tinydec_error"] = f"{type(e).__name__}: {e}"[:200]
         partial["out"] = dict(out)
     if args.train:
         out["classifier_train_images_per_sec"] = round(

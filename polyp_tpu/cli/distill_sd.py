@@ -234,12 +234,14 @@ def main(argv=None):
 
 def load_student_sampler(stack, output_dir: str | Path, cls: str,
                          config: DiffusionConfig,
-                         mesh=None) -> StableDiffusionSampler:
+                         mesh=None, decoder=None) -> StableDiffusionSampler:
     """Reload a polyp-distill-sd output (`models/distilled_{cls}` +
     meta.json) into a ready sampler — the serving path for distilled
     students (polyp-serve --distilled-dir). The meta's sampling convention
     (step count, prediction type, trailing grid, folded guidance)
-    overrides the config's; image_size/quantize still come from `config`."""
+    overrides the config's; image_size/quantize still come from `config`.
+    `decoder`: optional (module, params) tiny decoder (`--vae-decoder
+    tiny`) replacing the full VAE decode — the few-step Amdahl lever."""
     from types import SimpleNamespace
 
     from polyp_tpu.utils.checkpoint import load_pytree
@@ -268,7 +270,7 @@ def load_student_sampler(stack, output_dir: str | Path, cls: str,
         num_train_timesteps=meta["num_train_timesteps"])
     sampler = make_student_sampler(stack, result,
                                    stack.text_params["params"],
-                                   config, mesh=mesh)
+                                   config, mesh=mesh, decoder=decoder)
     cond_file = models_dir / f"distilled_{cls}_cond.npy"
     if cond_file.exists():
         # the class prompt resolves to the embedding the student was
@@ -281,10 +283,11 @@ def load_student_sampler(stack, output_dir: str | Path, cls: str,
 
 def make_student_sampler(stack, result, text_params,
                          config: DiffusionConfig,
-                         mesh=None) -> StableDiffusionSampler:
+                         mesh=None, decoder=None) -> StableDiffusionSampler:
     """A StableDiffusionSampler over a distilled student: trailing-grid
     DDIM at the student's step count, `guidance_scale=None` (guidance is
-    folded — cond-only forwards at 1× batch)."""
+    folded — cond-only forwards at 1× batch). `decoder`: optional
+    (module, params) tiny decoder replacing the full VAE decode."""
     student_schedule = DiffusionSchedule.create(
         config.num_train_timesteps, "scaled_linear", 0.00085, 0.012,
         prediction_type=result.prediction_type)
@@ -296,7 +299,8 @@ def make_student_sampler(stack, result, text_params,
         mesh=mesh, quantize=config.quantize,
         quant_fp_head=config.quant_fp_head,
         quant_fp_tail=config.quant_fp_tail,
-        sampler_kwargs={"spacing": "trailing", "steps_offset": 0})
+        sampler_kwargs={"spacing": "trailing", "steps_offset": 0},
+        decoder=decoder)
 
 
 if __name__ == "__main__":

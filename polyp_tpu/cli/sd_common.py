@@ -75,7 +75,8 @@ def make_components(stack: SDStack) -> SDComponents:
 
 
 def make_sampler(stack: SDStack, unet_params, text_params,
-                 config: DiffusionConfig, mesh=None) -> StableDiffusionSampler:
+                 config: DiffusionConfig, mesh=None,
+                 decoder=None) -> StableDiffusionSampler:
     schedule = DiffusionSchedule.create(config.num_train_timesteps,
                                         "scaled_linear", 0.00085, 0.012)
     return StableDiffusionSampler(
@@ -86,7 +87,8 @@ def make_sampler(stack: SDStack, unet_params, text_params,
         guidance_scale=config.guidance_scale, sampler=config.sampler,
         mesh=mesh, quantize=config.quantize,
         quant_fp_head=config.quant_fp_head,
-        quant_fp_tail=config.quant_fp_tail)
+        quant_fp_tail=config.quant_fp_tail,
+        decoder=decoder)
 
 
 def restore_class_params(stack: SDStack, config: DiffusionConfig,
@@ -174,9 +176,17 @@ def resume_class(stack: SDStack, config: DiffusionConfig, folder: Path,
 def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
                 folder: Path, cls: str, class_map: dict, quota: int,
                 flags: SDFlags, tracker=None, cache_dir: str | None = None,
-                generate: int | None = None, mesh=None) -> None:
+                generate: int | None = None, mesh=None,
+                ckpt_every: int = 0) -> None:
     """The train branch (train_with_lora_per_class.py:293-466):
-    dataset → LoRA(+features) → train → save adapter → generate quota."""
+    dataset → LoRA(+features) → train → save adapter → generate quota.
+
+    `ckpt_every` > 0 snapshots the train state every N epochs under
+    `folder/ckpt_{cls}` (train/resume.EpochCheckpointer) — the
+    finer-than-per-class recovery layer: a crash 150 epochs into a
+    200-epoch class resumes from the last snapshot instead of restarting
+    the class (the reference's only granularity,
+    train_with_lora_per_class.py:252-290)."""
     print_banner(f"Training {cls}")
     table = DiffusionTable.from_dirs(
         [layout.train_images, layout.val_images],
@@ -290,6 +300,11 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
                                         "scaled_linear", 0.00085, 0.012)
 
     prompt_ids = np.asarray(stack.tokenizer([prompt]))
+    checkpointer = None
+    if ckpt_every > 0:
+        from polyp_tpu.train.resume import EpochCheckpointer
+        checkpointer = EpochCheckpointer(folder / f"ckpt_{cls}",
+                                         every=ckpt_every)
     # >1-device mesh: the train-step trace must not dispatch Pallas
     # kernels (flash attention) — GSPMD has no partitioning rule for
     # them; see ops/dispatch.pallas_ok. No-op on 1 device / no mesh.
@@ -299,7 +314,8 @@ def train_class(stack: SDStack, config: DiffusionConfig, layout: DataLayout,
             cfg, state, frozen, schedule, loader, prompt_ids, lcfg,
             text_lora_cfg, special_ids,
             log=(lambda k, v, s: tracker.log_metric(f"{k}_{cls}", v, s))
-            if tracker else None)
+            if tracker else None,
+            checkpointer=checkpointer)
 
     # save the FULL trainable bundle (adapter + dreambooth rows + text lora
     # + proj) — the reference's "lora_" key filter drops the trained

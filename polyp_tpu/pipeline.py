@@ -203,8 +203,15 @@ class StableDiffusionSampler:
                  guidance_scale: float = 7.5, sampler: str = "unipc",
                  mesh=None, quantize: str | None = None,
                  quant_fp_head: int = 0, quant_fp_tail: int = 0,
-                 sampler_kwargs: dict | None = None):
+                 sampler_kwargs: dict | None = None,
+                 decoder: tuple | None = None):
         self.unet = unet
+        # optional distilled tiny decoder (module, params): replaces the
+        # full AutoencoderKL decode — the few-step Amdahl lever
+        # (models/tiny_decoder.py; ~30× fewer decode FLOPs). It consumes
+        # SCALED latents directly (no /0.18215, no post_quant_conv).
+        self.tiny_decoder = decoder[0] if decoder is not None else None
+        self._tiny_decoder_params = decoder[1] if decoder is not None else None
         # extra sampler arguments (e.g. spacing="trailing", steps_offset=0
         # for progressively-distilled students — train/distill.py)
         self.sampler_kwargs = dict(sampler_kwargs or {})
@@ -222,6 +229,9 @@ class StableDiffusionSampler:
             from polyp_tpu.parallel import replicate_to, shard_params
             self.unet_params = shard_params(unet_params, mesh)
             self.vae_params = replicate_to(vae_params, mesh)
+            if self._tiny_decoder_params is not None:
+                self._tiny_decoder_params = replicate_to(
+                    self._tiny_decoder_params, mesh)
         self.text_model = text_model
         self.text_params = text_params
         self.tokenizer = tokenizer
@@ -232,6 +242,13 @@ class StableDiffusionSampler:
         self.sampler = sampler
         self._encode_cache: dict[str, jax.Array] = {}
         self._batched_generate = None  # lazy jit for generate_batch
+
+    @property
+    def decode_params(self):
+        """What rides the jit's decode-params slot: the tiny decoder's
+        params when one is attached, else the full VAE's."""
+        return (self._tiny_decoder_params
+                if self.tiny_decoder is not None else self.vae_params)
 
     def encode_prompt(self, prompt: str) -> jax.Array:
         if prompt not in self._encode_cache:
@@ -275,6 +292,11 @@ class StableDiffusionSampler:
             latents = sample(self.sampler, model_fn, self.schedule, shape,
                              key, self.num_steps, init=init,
                              **self.sampler_kwargs)
+            if self.tiny_decoder is not None:
+                # vae_params carries the tiny decoder's params here (see
+                # decode_params) — it consumes scaled latents directly
+                return self.tiny_decoder.apply({"params": vae_params},
+                                               latents)
             return self.vae.apply(vae_params, latents / SD_VAE_SCALING,
                                   method=self.vae.decode)
 
@@ -318,7 +340,7 @@ class StableDiffusionSampler:
 
         def sampler_fn(batch_size: int, key: jax.Array) -> jax.Array:
             bs = _padded_batch(batch_size, self.mesh)
-            out = generate(self.unet_params, self.vae_params, cond, uncond,
+            out = generate(self.unet_params, self.decode_params, cond, uncond,
                            key, batch_size=bs)
             return out[:batch_size]
 
@@ -378,7 +400,7 @@ class StableDiffusionSampler:
                 self._generate_batched_impl,
                 static_argnames=("batch_size",),
                 out_shardings=self._out_shardings())
-        out = self._batched_generate(self.unet_params, self.vae_params,
+        out = self._batched_generate(self.unet_params, self.decode_params,
                                      cond, uncond, keys, batch_size=pad)
         return out[:n]
 
