@@ -45,6 +45,12 @@ def main(argv=None):
     parser.add_argument("--pretrained-dir", type=str, default=None)
     parser.add_argument("--tiny", action="store_true",
                         help="miniature SD stack (smoke/CI)")
+    parser.add_argument("--ckpt-every", type=int, default=0,
+                        help="snapshot the class train state every N "
+                             "epochs under {folder}/ckpt_{cls}; a killed "
+                             "run re-invoked with the same flags resumes "
+                             "from the last snapshot deterministically "
+                             "(train/resume.py; 0 = off)")
     args = parser.parse_args(argv)
 
     config = DiffusionConfig(quantize=args.quantize,
@@ -86,7 +92,8 @@ def main(argv=None):
             generate = 5 if args.generate_subsamples else None
             train_class(stack, config, layout, folder, cls, class_map,
                         quotas[cls], flags, tracker, args.cache_dir,
-                        generate=generate, mesh=mesh)
+                        generate=generate, mesh=mesh,
+                        ckpt_every=args.ckpt_every)
 
 
 if __name__ == "__main__":

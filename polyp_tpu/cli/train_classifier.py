@@ -81,6 +81,13 @@ def main(argv=None):
     parser.add_argument("--output-dir", type=str, default="./models/baseline_classification")
     parser.add_argument("--register", type=str,
                         default="./results/parameters_register.csv")
+    parser.add_argument("--ckpt-every", type=int, default=0,
+                        help="snapshot (state + early-stop bookkeeping) "
+                             "every N epochs under {output-dir}/ckpt; a "
+                             "killed run re-invoked with the same flags "
+                             "resumes from the last snapshot and matches "
+                             "the uninterrupted run exactly "
+                             "(train/resume.py; 0 = off)")
     args = parser.parse_args(argv)
 
     config = ClassificationConfig(
@@ -157,12 +164,19 @@ def main(argv=None):
     tracker = get_tracker_from(args)
     tracker.set_experiment(args.experiment_name or config.experiment_name)
 
+    checkpointer = None
+    if args.ckpt_every > 0:
+        from polyp_tpu.train.resume import EpochCheckpointer
+        checkpointer = EpochCheckpointer(out_dir / "ckpt",
+                                         every=args.ckpt_every)
+
     print_banner("Training")
     with tracker.start_run(run_name=model_name) as run:
         tracker.log_params(params)
         state, result = train_classifier(
             config, state, train_loader, val_loader, class_weights,
-            log=lambda k, v, s: tracker.log_metric(k, v, s))
+            log=lambda k, v, s: tracker.log_metric(k, v, s),
+            checkpointer=checkpointer)
         tracker.log_metric("best_val_accuracy", round(result.best_val_acc, 4))
         run_id = run.run_id
 

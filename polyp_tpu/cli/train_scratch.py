@@ -66,6 +66,12 @@ def main(argv=None):
                         help="local clip-vit-base-patch32 dir (optional)")
     parser.add_argument("--tiny", action="store_true",
                         help="miniature scratch UNet (smoke/CI)")
+    parser.add_argument("--ckpt-every", type=int, default=0,
+                        help="snapshot train state every N epochs under "
+                             "{output-dir}/ckpt_{cls}; a killed run "
+                             "re-invoked with the same flags resumes from "
+                             "the last snapshot deterministically "
+                             "(train/resume.py; 0 = off)")
     args = parser.parse_args(argv)
 
     config = DiffusionConfig(
@@ -172,13 +178,21 @@ def main(argv=None):
                 save_pytree(ckpt, {"params": st.params})
                 tracker.log_artifact(str(ckpt), f"diffusion_model/model_{_cls}")
 
+            checkpointer = None
+            if args.ckpt_every > 0:
+                from polyp_tpu.train.resume import EpochCheckpointer
+                checkpointer = EpochCheckpointer(
+                    Path(cfg.output_dir) / f"ckpt_{cls}",
+                    every=args.ckpt_every)
+
             from polyp_tpu.ops import dispatch
             with dispatch.mesh_trace_scope(mesh):  # no Pallas on >1 device
                 state, result = train_scratch_ddpm(
                     cfg, state, schedule, loader, text_embeddings,
                     log=lambda k, v, s: tracker.log_metric(f"{k}_{cls}",
                                                            v, s),
-                    epoch_callback=final_epoch_hook)
+                    epoch_callback=final_epoch_hook,
+                    checkpointer=checkpointer)
             print(f"Training for class {cls} finished successfully\n")
 
 

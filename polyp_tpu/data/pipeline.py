@@ -132,6 +132,17 @@ class Loader:
                 idx = np.concatenate([idx, np.arange(pad) % n])
             yield (self.images[idx], self.labels[idx], valid)
 
+    def skip_epochs(self, k: int) -> None:
+        """Advance the index RNG past `k` epochs without materializing any
+        batch — crash-resume replay (train/resume.py): a Loader's per-epoch
+        order is a function of how many epochs were drawn before it, so a
+        resumed run fast-forwards to `start_epoch` and then yields exactly
+        the batches the uninterrupted run would have."""
+        n = len(self.labels)
+        for _ in range(max(k, 0)):
+            epoch_batches(n, self.batch_size, self._rng, self.shuffle,
+                          self.drop_last, self.weights)
+
     def __iter__(self) -> Iterator[tuple[jax.Array, jax.Array, jax.Array]]:
         pending = None
         for host_batch in self._host_batches():

@@ -158,17 +158,65 @@ def train_classifier(
     val_loader: Loader,
     class_weights: np.ndarray | None = None,
     log: Callable[[str, float, int], None] | None = None,
+    checkpointer=None,
 ) -> tuple[ClassifierState, TrainResult]:
     """Epoch loop with early stopping; returns final state + history with the
-    best (lowest-val-loss) params captured, mirroring classifier.py:120-205."""
+    best (lowest-val-loss) params captured, mirroring classifier.py:120-205.
+
+    `checkpointer` (train/resume.EpochCheckpointer): periodic snapshots of
+    (state, best-so-far, early-stop counters) + deterministic resume — a
+    killed run restarted with the same checkpointer continues from the last
+    snapshot and produces the exact batches/updates of an uninterrupted run
+    (Loader.skip_epochs fast-forwards the index RNG; augmentation keys are
+    pure functions of (seed, epoch, step))."""
     mp = config.mixed_precision
     cw = (jnp.asarray(class_weights, jnp.float32)
           if class_weights is not None else None)
     result = TrainResult()
     best_val_loss = float("inf")
     early_stopping = 0
+    start_epoch = 0
 
-    for epoch in range(config.num_epochs):
+    if checkpointer is not None:
+        snap_like = {"state": state, "best_params": state.params,
+                     "best_batch_stats": state.batch_stats}
+        restored = checkpointer.restore(snap_like)
+        if restored is not None:
+            snap, start_epoch = restored
+            aux = checkpointer.restore_aux() or {}
+            state = snap["state"]
+            result.best_params = snap["best_params"]
+            result.best_batch_stats = snap["best_batch_stats"]
+            result.best_val_acc = aux.get("best_val_acc", 0.0)
+            result.train_loss_hist = list(aux.get("train_loss_hist", []))
+            result.val_loss_hist = list(aux.get("val_loss_hist", []))
+            best_val_loss = aux.get("best_val_loss", float("inf"))
+            early_stopping = aux.get("early_stopping", 0)
+            if aux.get("finished") and (
+                    aux.get("stopped_epoch") is not None
+                    or start_epoch >= config.num_epochs):
+                # completed (or early-stopped) run re-invoked with the same
+                # budget — the reference's rerun-the-job workflow: return
+                # the trained result, train nothing. A rerun with a LARGER
+                # num_epochs falls through and keeps training.
+                result.stopped_epoch = aux.get("stopped_epoch")
+                return state, result
+            train_loader.skip_epochs(start_epoch)
+
+    def _aux(finished: bool = False) -> dict:
+        return {"best_val_loss": best_val_loss,
+                "early_stopping": early_stopping,
+                "best_val_acc": result.best_val_acc,
+                "train_loss_hist": result.train_loss_hist,
+                "val_loss_hist": result.val_loss_hist,
+                "stopped_epoch": result.stopped_epoch,
+                "finished": finished}
+
+    def _snap() -> dict:
+        return {"state": state, "best_params": result.best_params,
+                "best_batch_stats": result.best_batch_stats}
+
+    for epoch in range(start_epoch, config.num_epochs):
         epoch_losses, correct, total = [], 0, 0
         for step, (images, labels, valid) in enumerate(train_loader):
             key = key_for(config.seed, "train", epoch, step)
@@ -199,7 +247,16 @@ def train_classifier(
         if early_stopping == config.patience:
             result.stopped_epoch = epoch
             break
+        if checkpointer is not None:
+            if checkpointer.save(epoch, _snap(), aux=_aux()):
+                from polyp_tpu.utils.faults import maybe_crash
+                maybe_crash("epoch", epoch)  # no-op unless test-armed
 
+    if checkpointer is not None and config.num_epochs > start_epoch:
+        # terminal snapshot: a rerun of a finished job returns immediately
+        # (the reference's filesystem-state idempotence, extended below
+        # epoch granularity)
+        checkpointer.save(epoch, _snap(), aux=_aux(finished=True), force=True)
     return state, result
 
 

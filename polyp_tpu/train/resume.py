@@ -30,11 +30,17 @@ class EpochCheckpointer:
     def _latest_path(self) -> Path:
         return self.dir / "latest.json"
 
-    def save(self, epoch: int, state: Any, force: bool = False) -> bool:
+    def save(self, epoch: int, state: Any, force: bool = False,
+             aux: dict | None = None) -> bool:
+        """`aux`: small JSON-serializable trainer extras (early-stopping
+        counters, loss histories) snapshotted beside the pytree so a
+        resumed run is byte-equivalent to an uninterrupted one."""
         if not force and (epoch + 1) % self.every != 0:
             return False
         path = self.dir / f"epoch_{epoch}"
         save_pytree(path, jax.device_get(state))
+        if aux is not None:
+            (self.dir / f"aux_{epoch}.json").write_text(json.dumps(aux))
         self._latest_path().write_text(json.dumps({"epoch": epoch}))
         self._prune(epoch)
         return True
@@ -42,9 +48,10 @@ class EpochCheckpointer:
     def _prune(self, current: int) -> None:
         snaps = sorted((int(p.name.split("_")[1]), p)
                        for p in self.dir.glob("epoch_*"))
-        for _, p in snaps[: max(0, len(snaps) - self.keep)]:
+        for e, p in snaps[: max(0, len(snaps) - self.keep)]:
             import shutil
             shutil.rmtree(p, ignore_errors=True)
+            (self.dir / f"aux_{e}.json").unlink(missing_ok=True)
 
     def latest_epoch(self) -> int | None:
         if not self._latest_path().exists():
@@ -58,6 +65,14 @@ class EpochCheckpointer:
             return None
         state = load_pytree(self.dir / f"epoch_{epoch}", like=like)
         return state, epoch + 1
+
+    def restore_aux(self) -> dict | None:
+        """The trainer-extras dict saved with the newest snapshot."""
+        epoch = self.latest_epoch()
+        if epoch is None:
+            return None
+        aux_path = self.dir / f"aux_{epoch}.json"
+        return json.loads(aux_path.read_text()) if aux_path.exists() else None
 
 
 def resume_or_init(ckptr: EpochCheckpointer | None, init_state: Any) -> tuple[Any, int]:

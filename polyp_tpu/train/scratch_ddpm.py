@@ -124,8 +124,18 @@ def train_scratch_ddpm(
 ) -> tuple[DDPMState, DDPMTrainResult]:
     """Epoch loop (train_from_scratch.py:80-133); `epoch_callback` hosts the
     reference's final-epoch sample+save hook (:121-133). Pass an
-    `EpochCheckpointer` (train/resume.py) for crash-resumable snapshots."""
+    `EpochCheckpointer` (train/resume.py) for crash-resumable snapshots:
+    when one holds a snapshot, training restores it, fast-forwards the
+    loader's index RNG (Loader.skip_epochs) and continues deterministically
+    (step keys are pure functions of (seed, epoch, step))."""
     result = DDPMTrainResult()
+    if checkpointer is not None and start_epoch == 0:
+        restored = checkpointer.restore(state)
+        if restored is not None:
+            state, start_epoch = restored
+            aux = checkpointer.restore_aux() or {}
+            result.loss_hist = list(aux.get("loss_hist", []))
+            loader.skip_epochs(start_epoch)
     for epoch in range(start_epoch, config.num_epochs):
         losses = []
         for step, (images, _, _) in enumerate(loader):
@@ -138,7 +148,10 @@ def train_scratch_ddpm(
         if log:
             log("train_loss", avg, epoch)
         if checkpointer is not None:
-            checkpointer.save(epoch, state)
+            if checkpointer.save(epoch, state,
+                                 aux={"loss_hist": result.loss_hist}):
+                from polyp_tpu.utils.faults import maybe_crash
+                maybe_crash("epoch", epoch)  # no-op unless test-armed
         if epoch_callback:
             epoch_callback(epoch, state)
     return state, result

@@ -205,8 +205,19 @@ def train_sd_lora(
 ) -> tuple[SDTrainState, SDTrainResult]:
     """Epoch loop (train_with_lora_per_class.py:115-166); the final-epoch
     save-generate-log hook (:168-199) lives in `epoch_callback`. Pass an
-    `EpochCheckpointer` (train/resume.py) for crash-resumable snapshots."""
+    `EpochCheckpointer` (train/resume.py) for crash-resumable snapshots:
+    when one holds a snapshot, training restores it, fast-forwards the
+    loader's index RNG (Loader.skip_epochs) and continues — producing the
+    exact batches/updates of an uninterrupted run (step keys are pure
+    functions of (seed, epoch, step))."""
     result = SDTrainResult()
+    if checkpointer is not None and start_epoch == 0:
+        restored = checkpointer.restore(state)
+        if restored is not None:
+            state, start_epoch = restored
+            aux = checkpointer.restore_aux() or {}
+            result.loss_hist = list(aux.get("loss_hist", []))
+            loader.skip_epochs(start_epoch)
     ids = jnp.asarray(prompt_ids)
     sids = (jnp.asarray(special_ids, jnp.int32) if special_ids is not None
             else jnp.zeros((1,), jnp.int32))
@@ -224,7 +235,10 @@ def train_sd_lora(
         if log:
             log("train_loss", avg, epoch)
         if checkpointer is not None:
-            checkpointer.save(epoch, state)
+            if checkpointer.save(epoch, state,
+                                 aux={"loss_hist": result.loss_hist}):
+                from polyp_tpu.utils.faults import maybe_crash
+                maybe_crash("epoch", epoch)  # no-op unless test-armed
         if epoch_callback:
             epoch_callback(epoch, state)
     return state, result

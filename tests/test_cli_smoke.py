@@ -4,6 +4,7 @@ item e — the `--generate_subsamples`-grade fast path, as pytest)."""
 import json
 from pathlib import Path
 
+import jax
 import numpy as np
 import pytest
 from PIL import Image
@@ -301,3 +302,80 @@ def test_distill_sd_cli(corpus, tmp_path, monkeypatch, student_head):
     imgs = sampler.generate_batch([meta["prompt"]] * 2, keys, pad_to=4)
     assert imgs.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(imgs)).all()
+
+
+class TestKillResume:
+    """The crash-recovery contract end-to-end (VERDICT r4 next-round #2):
+    a REAL training CLI process is SIGKILLed right after an epoch snapshot
+    (fault injection, utils/faults.py), re-invoked with the same flags, and
+    must produce a final checkpoint byte-identical to an uninterrupted
+    twin run."""
+
+    def _run_cli(self, corpus, workdir, out_dir, crash_at=None,
+                 ckpt_every=1):
+        import os
+        import subprocess
+        import sys
+
+        from polyp_tpu.utils.host import host_fingerprint
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        # share the suite's persistent compile cache so the three runs pay
+        # one compile
+        env["JAX_COMPILATION_CACHE_DIR"] = \
+            f"/tmp/jax_cache_tests_{host_fingerprint()}"
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+        if crash_at is not None:
+            env["POLYP_TPU_CRASH_AT"] = crash_at
+        else:
+            env.pop("POLYP_TPU_CRASH_AT", None)
+        args = [sys.executable, "-m", "polyp_tpu.cli.train_classifier",
+                "--data-root", str(corpus),
+                "--cache-dir", str(workdir / "cache"),
+                "--tracker-root", str(workdir / "runs"),
+                "--image_size", "32", "--batch_size", "4",
+                "--num_epochs", "3", "--hidden_features", "8",
+                "--variant", "tiny",
+                "--output-dir", str(out_dir),
+                "--register", str(workdir / "reg.csv")]
+        if ckpt_every:
+            args += ["--ckpt-every", str(ckpt_every)]
+        return subprocess.run(args, cwd=workdir, env=env,
+                              capture_output=True, text=True, timeout=900)
+
+    def _best_ckpt(self, out_dir):
+        from polyp_tpu.utils.checkpoint import load_pytree
+
+        dirs = [p for p in Path(out_dir).iterdir()
+                if p.is_dir() and p.name.startswith("classifier_")]
+        assert len(dirs) == 1, dirs
+        return load_pytree(dirs[0])
+
+    def test_sigkill_then_resume_matches_uninterrupted(self, corpus,
+                                                       tmp_path):
+        work = tmp_path
+        # 1) armed run: SIGKILLed right after epoch 0's snapshot
+        killed = self._run_cli(corpus, work, work / "resumed",
+                               crash_at="epoch:0")
+        assert killed.returncode == -9, (killed.returncode, killed.stderr[-2000:])
+        ck = work / "resumed" / "ckpt"
+        assert (ck / "latest.json").exists(), "no snapshot before the kill"
+        assert not list(Path(work / "resumed").glob("classifier_*")), \
+            "final checkpoint must not exist after the kill"
+
+        # 2) re-invoke with the same flags: resumes epoch 1, completes
+        resumed = self._run_cli(corpus, work, work / "resumed")
+        assert resumed.returncode == 0, resumed.stderr[-2000:]
+
+        # 3) uninterrupted twin in a fresh output dir
+        twin = self._run_cli(corpus, work, work / "twin", ckpt_every=0)
+        assert twin.returncode == 0, twin.stderr[-2000:]
+
+        a = self._best_ckpt(work / "resumed")
+        b = self._best_ckpt(work / "twin")
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        assert len(la) == len(lb) and len(la) > 0
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
