@@ -329,6 +329,93 @@ class TestQuantizedShardedSampling:
         assert np.isfinite(b).all()
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
 
+    def test_promoted_hybrid_split_sharded_matches(self, monkeypatch,
+                                                   tmp_path):
+        """The PROMOTED full-trajectory config's structure under the mesh
+        (VERDICT r4 weak #2): w8a8_static with an fp head — the
+        fp->int8 segment-list split, the calibration trace, and the
+        per-timestep scale gathers all partitioned by pjit. 3 steps with
+        head 1 keeps the promoted shape at test size."""
+        from polyp_tpu.cli.common import load_sd_stack
+        from polyp_tpu.cli.sd_common import make_sampler
+        from polyp_tpu.ops import quant
+
+        monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+        monkeypatch.setenv("POLYP_QUANT_CACHE", str(tmp_path))
+        stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+        cfg = DiffusionConfig(image_size=32, num_inference_steps=3,
+                              sampler="ddim", quantize="w8a8_static",
+                              quant_fp_head=1)
+        key = jax.random.PRNGKey(4)
+        plain = make_sampler(stack, stack.unet_params,
+                             stack.text_params["params"], cfg)
+        assert plain._split == (1, 0), "fp head must survive config plumbing"
+        sharded = make_sampler(stack, stack.unet_params,
+                               stack.text_params["params"], cfg,
+                               make_mesh({"data": 8}))
+        a = np.asarray(plain.for_prompt("polyp")(8, key), np.float32)
+        b = np.asarray(sharded.for_prompt("polyp")(8, key), np.float32)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    def test_promoted_distilled_folded_sharded_matches(self, monkeypatch,
+                                                       tmp_path):
+        """The PROMOTED distilled config under the mesh: pure w8a8_static
+        on the folded cond-only few-step path (trailing DDIM, guidance
+        None) — what `polyp-serve --distilled-dir --quantize promoted
+        --mesh data=N` runs."""
+        from types import SimpleNamespace
+
+        from polyp_tpu.cli.common import load_sd_stack
+        from polyp_tpu.cli.distill_sd import make_student_sampler
+        from polyp_tpu.ops import quant
+
+        monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+        monkeypatch.setenv("POLYP_QUANT_CACHE", str(tmp_path))
+        stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+        cfg = DiffusionConfig(image_size=32, num_train_timesteps=8,
+                              quantize="w8a8_static")
+        student = SimpleNamespace(params=stack.unet_params, num_steps=2,
+                                  prediction_type="epsilon")
+        key = jax.random.PRNGKey(7)
+        plain = make_student_sampler(stack, student,
+                                     stack.text_params["params"], cfg)
+        sharded = make_student_sampler(stack, student,
+                                       stack.text_params["params"], cfg,
+                                       mesh=make_mesh({"data": 8}))
+        assert plain.guidance_scale is None and plain.quantize == "w8a8_static"
+        keys = list(jax.random.split(key, 3))
+        a = np.asarray(plain.generate_batch(["polyp", "x", "y"], keys,
+                                            pad_to=8), np.float32)
+        b = np.asarray(sharded.generate_batch(["polyp", "x", "y"], keys,
+                                              pad_to=8), np.float32)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    def test_quant_composes_with_tp_mesh(self, monkeypatch, tmp_path):
+        """data=4,model=2 (DP x Megatron-TP) with w8a8_static: in-graph
+        int8 weight quantization over TP-SHARDED kernels must partition,
+        not gather — the dryrun's mesh shape, proven equivalent here."""
+        from polyp_tpu.cli.common import load_sd_stack
+        from polyp_tpu.cli.sd_common import make_sampler
+        from polyp_tpu.ops import quant
+
+        monkeypatch.setattr(quant, "MIN_QUANT_CHANNELS", 8)
+        monkeypatch.setenv("POLYP_QUANT_CACHE", str(tmp_path))
+        stack = load_sd_stack(None, dtype=jnp.float32, tiny=True)
+        cfg = DiffusionConfig(image_size=32, num_inference_steps=2,
+                              sampler="ddim", quantize="w8a8_static")
+        key = jax.random.PRNGKey(4)
+        plain = make_sampler(stack, stack.unet_params,
+                             stack.text_params["params"], cfg)
+        sharded = make_sampler(stack, stack.unet_params,
+                               stack.text_params["params"], cfg,
+                               make_mesh({"data": 4, "model": 2}))
+        a = np.asarray(plain.for_prompt("polyp")(8, key), np.float32)
+        b = np.asarray(sharded.for_prompt("polyp")(8, key), np.float32)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
 
 class TestMultiHostBatchCoherence:
     """Multi-host semantics of Loader (simulated — this host is one process):
