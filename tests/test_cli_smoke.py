@@ -320,6 +320,10 @@ class TestKillResume:
         from polyp_tpu.utils.host import host_fingerprint
 
         env = dict(os.environ)
+        # APPEND the repo root (never overwrite: the base env's PYTHONPATH
+        # registers the TPU PJRT plugin)
+        repo = str(Path(__file__).resolve().parents[1])
+        env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
         env["JAX_PLATFORMS"] = "cpu"
         # share the suite's persistent compile cache so the three runs pay
         # one compile

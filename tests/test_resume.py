@@ -8,11 +8,16 @@ from polyp_tpu.configs import DiffusionConfig
 from polyp_tpu.diffusion import DiffusionSchedule
 from polyp_tpu.lora import LoRAConfig, init_lora
 from polyp_tpu.train.resume import EpochCheckpointer, resume_or_init
-from polyp_tpu.train.scratch_ddpm import create_ddpm_state, ddpm_train_step
+from polyp_tpu.train.scratch_ddpm import (
+    create_ddpm_state,
+    ddpm_train_step,
+    train_scratch_ddpm,
+)
 from polyp_tpu.train.sd_finetune import (
     create_sd_train_state,
     init_trainable,
     sd_lora_train_step,
+    train_sd_lora,
 )
 from tests.test_trainers import CFG, SCHED, TINY_UNET, _images, sd_stack  # noqa: F401
 import pytest
