@@ -67,7 +67,7 @@ class TestPromotedAlias:
         seen = {}
 
         def fake_distilled(batch, image_size, steps, quick, quantize=None,
-                           quantize_vae=False):
+                           quantize_vae=False, **kw):
             seen.update(batch=batch, steps=steps, quantize=quantize)
             return {"samples_per_sec": 1.0, "steps": steps,
                     "batch_size": batch, "unet_scan_sec": 0.1,
