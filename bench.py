@@ -513,8 +513,12 @@ def bench_distill_train(batch_size: int = 8, image_size: int = 256,
         else:
             tx = optax.chain(optax.clip_by_global_norm(1.0),
                              optax.adafactor(1e-4))
-        state = DistillState(step=jnp.zeros((), jnp.int32), params=params,
-                             opt_state=tx.init(params), tx=tx)
+        # copy the student start: the step donates state.params and the
+        # teacher argument aliases the same buffers (warm start)
+        state = DistillState(
+            step=jnp.zeros((), jnp.int32),
+            params=jax.tree_util.tree_map(jnp.array, params),
+            opt_state=tx.init(params), tx=tx)
         step = make_distill_step(student_apply, teacher_apply, sched,
                                  sched, grid)
         x0 = jax.random.normal(jax.random.PRNGKey(3),
@@ -549,7 +553,8 @@ def bench_distill_train(batch_size: int = 8, image_size: int = 256,
     attempts = []
     for opt_name, bs in [(optimizer, batch_size),
                          ("adafactor", batch_size),
-                         ("adafactor", max(batch_size // 2, 1))]:
+                         ("adafactor", max(batch_size // 2, 1)),
+                         ("adafactor", max(batch_size // 4, 1))]:
         if (opt_name, bs) in [(a["optimizer"], a["batch"])
                               for a in attempts]:
             continue

@@ -55,6 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
+from functools import partial
 
 from polyp_tpu.diffusion.schedule import DiffusionSchedule, inference_timesteps
 
@@ -176,7 +177,14 @@ def make_distill_step(student_apply: Callable[[Any, jax.Array, jax.Array], jax.A
     own x̂₀ at the SAME t (0-substep warmup for a prediction-type switch)
     instead of the 2-substep x̃₀."""
 
-    @jax.jit
+    # donate the state: full-param distillation holds student params +
+    # teacher params + grads + moments resident, and without donation the
+    # updated params materialize BESIDE the old ones — the difference
+    # between fitting one 16 GB v5e and OOM (bench_distill_train's
+    # measured wall). Callers must not reuse a consumed state object
+    # (distill_progressive rebinds every step). NOTE: tparams must not
+    # alias state.params buffers — pass the teacher as its own copy.
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: DistillState, tparams: Any, x0: jax.Array,
              key: jax.Array):
         k_noise, k_idx = jax.random.split(key)
@@ -404,9 +412,14 @@ def distill_progressive(
                                            max(warmup // 20, 1)),
                      optax.constant_schedule(learning_rate)],
                     [max(warmup // 20, 1)]), weight_decay=weight_decay))
-            wstate = DistillState(step=jnp.zeros((), jnp.int32),
-                                  params=warm_params,
-                                  opt_state=wtx.init(warm_params), tx=wtx)
+            # COPY the student's starting params: the step donates
+            # state.params, and the warm start aliases the phase teacher's
+            # buffers (student starts FROM the teacher) — donating an
+            # aliased buffer while tparams reads it is undefined.
+            wstate = DistillState(
+                step=jnp.zeros((), jnp.int32),
+                params=jax.tree_util.tree_map(jnp.array, warm_params),
+                opt_state=wtx.init(warm_params), tx=wtx)
             warm_step = make_distill_step(student_apply, phase_teacher,
                                           teacher_sched, student_sched,
                                           grid, reparam=True)
@@ -449,9 +462,11 @@ def distill_progressive(
             check_reparam_converged(wlosses, rel_err=rel_err)
 
         tx = _make_tx(steps_per_phase)
-        state = DistillState(step=jnp.zeros((), jnp.int32),
-                             params=warm_params,
-                             opt_state=tx.init(warm_params), tx=tx)
+        # copy for the same donation-aliasing reason as the warmup state
+        state = DistillState(
+            step=jnp.zeros((), jnp.int32),
+            params=jax.tree_util.tree_map(jnp.array, warm_params),
+            opt_state=tx.init(warm_params), tx=tx)
 
         step = make_distill_step(student_apply, phase_teacher,
                                  teacher_sched, student_sched, grid)
