@@ -46,6 +46,9 @@ import json
 import sys
 import threading
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
@@ -182,53 +185,69 @@ def run_load(service: GenerationService, clients: int, duration: float,
 
 
 def run_overload(args) -> None:
-    """Overload scenario (clients ≫ capacity): admitted-request latency and
-    clean shedding under a bounded queue vs unbounded degradation.
+    """Overload scenario: OPEN-LOOP arrivals at `--arrival_rate` req/s
+    (> capacity) against bounded vs unbounded admission.
 
-    Each of `--clients` threads issues back-to-back 1-image requests; on a
-    429 (ServiceOverloaded) the client backs off 50 ms and retries. Two
-    configs run on the same compiled stack: max_pending=args.max_pending
-    (bounded, the round-5 default) and max_pending=None (the pre-round-5
-    unbounded queue). The bounded run's p99 must stay near
-    (max_pending/throughput); the unbounded run's p99 grows with client
-    count without limit."""
+    Open loop is the case admission control exists for: arrivals do not
+    wait for completions, so an unbounded queue grows as (rate-capacity)*t
+    and the queue-wait percentile grows with it without limit, while a
+    bounded queue sheds the excess (429, no retry — open-loop drops) and
+    keeps every ACCEPTED request's latency near max_pending/capacity.
+    (A closed-loop harness cannot show this: N blocking clients self-limit
+    the queue to N — measured on-chip: at 32 closed-loop clients the
+    unbounded queue's p99 was fine at 4.1 s and shedding only added retry
+    latency. That measurement motivated this open-loop harness.)
+
+    Latency is measured from the SCHEDULED arrival time, so worker-pool
+    scheduling jitter does not hide queue growth."""
     from polyp_tpu.serve import ServiceOverloaded
 
     batch_sampler = build_batch_sampler(args, args.max_batch)
+    n_requests = int(args.arrival_rate * args.duration)
     for bound in (args.max_pending, None):
         service = GenerationService(
             batch_sampler, max_batch=args.max_batch,
             warm_prompt=PROMPTS[0],
             batch_window_s=args.batch_window_ms / 1e3,
             max_pending=bound)
+        lats: list[float] = []
         shed = [0]
         lock = threading.Lock()
+        t0 = time.perf_counter() + 0.5
 
-        def issue(cid, n):
-            while True:
-                try:
-                    service.generate(PROMPTS[cid % len(PROMPTS)], 1,
-                                     seed=cid * 100003 + n)
-                    return
-                except ServiceOverloaded:
-                    with lock:
-                        shed[0] += 1
-                    time.sleep(0.05)
+        def worker(i: int) -> None:
+            sched = t0 + i / args.arrival_rate
+            delay = sched - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+            try:
+                service.generate(PROMPTS[i % len(PROMPTS)], 1, seed=i)
+                with lock:
+                    lats.append(time.perf_counter() - sched)
+            except ServiceOverloaded:
+                with lock:
+                    shed[0] += 1
 
-        elapsed, buckets = _closed_loop(args.duration,
-                                        [("all", issue)] * args.clients)
-        lats = buckets["all"]
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(n_requests)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        lats.sort()
         print(json.dumps({
-            "scenario": "overload",
+            "scenario": "overload_open_loop",
             "max_pending": bound,
-            "clients": args.clients,
-            "duration_s": round(elapsed, 2),
+            "arrival_rate_per_s": args.arrival_rate,
+            "duration_s": args.duration,
+            "offered": n_requests,
             "accepted": len(lats),
-            "shed_events": shed[0],
-            "throughput_samples_per_s": round(len(lats) / elapsed, 3),
+            "shed": shed[0],
+            "goodput_samples_per_s": round(len(lats) / args.duration, 3),
             "p50_s": round(percentile(lats, 0.50), 3),
             "p95_s": round(percentile(lats, 0.95), 3),
             "p99_s": round(percentile(lats, 0.99), 3),
+            "max_s": round(lats[-1], 3) if lats else None,
         }))
         service.close()
 
@@ -352,10 +371,13 @@ def main(argv=None) -> None:
     parser.add_argument("--skip_solo", action="store_true",
                         help="skip the max_batch=1 no-coalescing baseline")
     parser.add_argument("--overload", action="store_true",
-                        help="overload scenario: clients >> capacity, "
-                             "bounded (max_pending) vs unbounded queue — "
-                             "shed counts and accepted-request percentiles "
+                        help="overload scenario: open-loop arrivals at "
+                             "--arrival_rate > capacity, bounded "
+                             "(max_pending) vs unbounded queue — shed "
+                             "counts and accepted-request percentiles "
                              "(run_overload)")
+    parser.add_argument("--arrival_rate", type=float, default=16.0,
+                        help="open-loop offered load for --overload, req/s")
     parser.add_argument("--max_pending", type=int, default=16,
                         help="admission bound for --overload's bounded run")
     parser.add_argument("--vae-decoder", default="full",

@@ -26,7 +26,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -84,10 +88,6 @@ def main(argv=None):
     from polyp_tpu.models import (SD14_TEXT_CONFIG, TINY_TEXT_CONFIG,
                                   AutoencoderKL, CLIPTextModel, sd14_unet,
                                   tiny_condition_unet, tiny_vae)
-    from polyp_tpu.train.sd_finetune import (SDComponents,
-                                             create_sd_train_state,
-                                             init_trainable,
-                                             sd_lora_train_step)
 
     dtype = jnp.bfloat16
     k = jax.random.PRNGKey(0)
@@ -120,47 +120,88 @@ def main(argv=None):
     ids = jnp.zeros((1, tok_len), jnp.int32)
     nids = jnp.zeros((1,), jnp.int32)
 
-    def components(uapply, uparams):
-        return SDComponents(
-            unet_params=uparams, vae_params=vae_params,
-            text_params=text_params,
-            unet_apply=uapply,
-            vae_encode=lambda p, x: vae.apply(p, x,
-                                              method=vae.encode_moments),
-            text_apply=lambda p, i: text.apply({"params": p}, i))
+    from functools import partial
 
-    plain = components(
-        lambda p, x, t, c: unet.apply({"params": p}, x, t, c), unet_params)
+    import optax
+
+    from polyp_tpu.diffusion import epsilon_mse_loss
+    from polyp_tpu.data.transforms import augment_diffusion_batch
+    from polyp_tpu.models.vae import SD_VAE_SCALING, DiagonalGaussian
+    from polyp_tpu.lora import merge_lora
+
+    vae_vars = vae_params
+
+    # The step mirrors train/sd_finetune.sd_lora_train_step's structure
+    # (frozen encode -> noise -> LoRA merge -> UNet -> MSE -> AdamW) with
+    # one change: when the frozen base rides as int8, it is DEQUANTIZED
+    # IN-GRAPH before the LoRA merge — the merge needs float weights, so
+    # the dequant sits between the int8 HBM read and the conv. Whether
+    # XLA fuses that chain or materializes a bf16 copy is the measured
+    # question.
+    sched_local = sched
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(1e-4, weight_decay=1e-2))
+
+    # frozen VAE/CLIP params ride as ARGUMENTS — closing over them bakes
+    # 150M+ weights into the HLO as constants (compile-payload explosion;
+    # the pipeline.py closure trap, re-hit here as an HTTP 413 from the
+    # tunneled remote-compile service)
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("quant",))
+    def step(trainable, opt_state, uparams, vparams, tparams, images_u8,
+             key, quant):
+        k_aug, k_lat, k_noise, k_t = jax.random.split(key, 4)
+        x0 = augment_diffusion_batch(images_u8, k_aug, train=True)
+        moments = vae.apply(vparams, x0, method=vae.encode_moments)
+        latents = DiagonalGaussian(moments).sample(k_lat) * SD_VAE_SCALING
+        noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+        n = x0.shape[0]
+        timesteps = jax.random.randint(k_t, (n,), 0, 1000)
+        noisy = sched_local.add_noise(latents, noise, timesteps)
+        hidden = jax.lax.stop_gradient(
+            text.apply({"params": tparams},
+                       jnp.zeros((n, tok_len), jnp.int32)))
+
+        def loss_fn(trainable):
+            base = dequantize(uparams) if quant else uparams
+            merged = merge_lora(jax.lax.stop_gradient(base)
+                                if not quant else base,
+                                trainable, lcfg)
+            pred = unet.apply({"params": merged}, noisy, timesteps, hidden)
+            return epsilon_mse_loss(sched_local, pred, latents, noise,
+                                    timesteps)
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, new_opt = tx.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), new_opt, loss
+
     qparams = quantize_frozen(unet_params)
-    w8 = components(
-        lambda p, x, t, c: unet.apply({"params": dequantize(p)}, x, t, c),
-        qparams)
 
-    def measure(frozen, tag):
+    def measure(uparams, quant, tag):
         adapter = init_lora(unet_params, lcfg, jax.random.PRNGKey(1))
-        state = create_sd_train_state(cfg, init_trainable(adapter))
+        opt_state = tx.init(adapter)
 
-        def chain_run(state, base):
+        def chain_run(adapter, opt_state, base):
             losses = []
             for i in range(args.chain):
-                state, loss = sd_lora_train_step(
-                    state, frozen, sched, images, ids, nids,
-                    jax.random.PRNGKey(base + i), lcfg)
+                adapter, opt_state, loss = step(
+                    adapter, opt_state, uparams, vae_vars, text_params,
+                    images, jax.random.PRNGKey(base + i), quant)
                 losses.append(loss)
             tot = float(jax.device_get(sum(losses)))
             assert np.isfinite(tot), f"{tag}: non-finite loss"
-            return state, tot
+            return adapter, opt_state, tot
 
-        state, first = chain_run(state, 100)
+        adapter, opt_state, first = chain_run(adapter, opt_state, 100)
         times = []
         for r in range(args.repeats):
             t0 = time.perf_counter()
-            state, _ = chain_run(state, 1000 * (r + 1))
+            adapter, opt_state, _ = chain_run(adapter, opt_state,
+                                              1000 * (r + 1))
             times.append((time.perf_counter() - t0) / args.chain)
         return args.batch / min(times), first
 
-    bf16_ips, bf16_loss = measure(plain, "bf16")
-    w8_ips, w8_loss = measure(w8, "w8_frozen")
+    bf16_ips, bf16_loss = measure(unet_params, False, "bf16")
+    w8_ips, w8_loss = measure(qparams, True, "w8_frozen")
     speedup = w8_ips / bf16_ips
     print(json.dumps({
         "probe": "w8_frozen_base_lora_train",
